@@ -1,0 +1,312 @@
+"""Typed dataclass configuration with YAML round-tripping.
+
+Replaces the reference's OmegaConf YAML blobs (reference
+configs/training/stage{0..3}.yaml, configs/inference.yaml) with typed,
+validated dataclasses. Field semantics mirror the reference's hyperparameters
+(reference configs/training/stage1.yaml: train resolution 512, lr 1e-4, bs 4;
+stage2.yaml: 8 frames, +/-2 audio context; stage0.yaml: snr_gamma 5.0,
+noise_offset 0.05, uncond_ratio 0.1) while defaulting to TPU-friendly values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+def _tuplify(x):
+    return tuple(x) if isinstance(x, list) else x
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL-shaped VAE (reference uses stabilityai/sd-vae-ft-mse,
+    reference train_stage_1_referencenet.py:124-127)."""
+
+    in_channels: int = 3
+    latent_channels: int = 4
+    base_channels: int = 128
+    channel_multipliers: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    norm_groups: int = 32
+    scaling_factor: float = 0.18215  # reference train_stage_1_referencenet.py:164
+    sample_size: int = 256
+
+    def __post_init__(self):
+        object.__setattr__(self, "channel_multipliers", _tuplify(self.channel_multipliers))
+
+    @property
+    def downscale(self) -> int:
+        return 2 ** (len(self.channel_multipliers) - 1)
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """wav2vec2-style audio encoder + per-video-frame feature framing
+    (reference Net.py:607-797 Wav2VecFeatureExtractor)."""
+
+    sample_rate: int = 16000
+    hidden_dim: int = 768
+    num_layers: int = 4
+    num_heads: int = 8
+    conv_dim: int = 512
+    # conv feature extractor strides/kernels (wav2vec2-base layout)
+    conv_strides: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernels: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    # +/- context frames concatenated per video frame
+    # (reference configs/training/stage2.yaml audio_ctx_frames: 2)
+    context_frames: int = 2
+    video_fps: float = 25.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "conv_strides", _tuplify(self.conv_strides))
+        object.__setattr__(self, "conv_kernels", _tuplify(self.conv_kernels))
+
+    @property
+    def frames_per_window(self) -> int:
+        return 2 * self.context_frames + 1
+
+    @property
+    def total_stride(self) -> int:
+        s = 1
+        for st in self.conv_strides:
+            s *= st
+        return s
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """The denoising UNet3D + conditioning modules.
+
+    Mirrors the SD-1.5 UNet topology the reference inflates
+    (reference magicanimate/models/unet_controlnet.py:54-160,
+    configs/unet-config.yaml) at a configurable scale, plus the EMO
+    conditioning the reference declared but never wired into the denoiser
+    (reference EMOAnimationPipeline.py:777-786 vs unet_controlnet.py:328-339):
+    audio cross-attention, speed embedding, face-region mask residual.
+    """
+
+    in_channels: int = 4
+    out_channels: int = 4
+    base_channels: int = 128
+    channel_multipliers: Tuple[int, ...] = (1, 2, 4, 4)
+    layers_per_block: int = 2
+    norm_groups: int = 32
+    attention_head_dim: int = 64
+    cross_attention_dim: int = 768
+    # which resolutions get spatial/cross attention (index into multipliers)
+    attention_levels: Tuple[int, ...] = (1, 2, 3)
+    # temporal motion modules (reference motion_module.py:42-334)
+    use_temporal: bool = True
+    temporal_pos_max_len: int = 24  # reference configs/inference.yaml / motion_module.py:235
+    # audio cross-attention injection (EMO-specific; finishes reference wiring)
+    use_audio: bool = True
+    audio_context_dim: int = 768
+    # reference-image attention (K/V concat into self-attention,
+    # reference mutual_self_attention.py:237-241)
+    use_reference: bool = True
+    # speed-bucket conditioning added to the time embedding
+    # (reference Net.py:198-258 SpeedEncoder, Net.py:554-589 SpeedController)
+    use_speed: bool = True
+    num_speed_buckets: int = 9  # reference train_stage_3_speedlayers.py:31-32
+    speed_bucket_radius: float = 0.1
+    # face-region mask conv encoder added at conv_in
+    # (reference Net.py:819-855 FaceLocator, Net.py:591-605 FaceRegionController)
+    use_face_mask: bool = True
+    face_mask_channels: int = 1
+    flash_attention: bool = True
+    remat: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "channel_multipliers", _tuplify(self.channel_multipliers))
+        object.__setattr__(self, "attention_levels", _tuplify(self.attention_levels))
+
+    @property
+    def block_channels(self) -> Tuple[int, ...]:
+        return tuple(self.base_channels * m for m in self.channel_multipliers)
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """DDPM/DDIM schedule (reference train_stage_1_referencenet.py:145-150:
+    1000 steps, scaled_linear beta 0.00085 -> 0.012)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"  # or "linear", "squaredcos_cap_v2"
+    prediction_type: str = "epsilon"  # or "v_prediction"
+    # training loss shaping (reference configs/training/stage0.yaml)
+    snr_gamma: float = 0.0  # 0 disables; reference stage0 uses 5.0
+    noise_offset: float = 0.0  # reference stage0 uses 0.05
+    zero_terminal_snr: bool = False
+    # sampling
+    num_inference_steps: int = 50  # reference EMOAnimationPipeline.py:550
+    guidance_scale: float = 7.5  # reference EMOAnimationPipeline.py:551
+    ddim_eta: float = 0.0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes: data x context x model.
+
+    `context` shards the video-frame window axis (the reference's only real
+    parallelism: denoise windows split rank::world_size,
+    reference EMOAnimationPipeline.py:757); `model` is tensor parallelism
+    over attention heads / conv channels (new capability, GSPMD)."""
+
+    data: int = -1  # -1: all remaining devices
+    context: int = 1
+    model: int = 1
+    axis_names: Tuple[str, str, str] = ("data", "context", "model")
+
+    def __post_init__(self):
+        object.__setattr__(self, "axis_names", _tuplify(self.axis_names))
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset + preprocessing (reference Net.py:1189-1445 EMODataset)."""
+
+    data_dir: str = "data"
+    metadata_json: str = "data/overfit.json"
+    video_dir: str = "data/videos"
+    cache_dir: str = "data/cache"
+    width: int = 256
+    height: int = 256
+    num_frames: int = 8  # reference configs/training/stage2.yaml num_frames: 8
+    num_motion_frames: int = 2
+    batch_size: int = 4
+    num_workers: int = 0
+    shuffle: bool = True
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Unified trainer config; per-stage values mirror the reference
+    (reference configs/training/stage{1,2,3}.yaml: s1 lr 1e-4 bs4,
+    s2 lr 1e-5 bs2, s3 lr 1e-5 bs2 face_loss_weight 0.5)."""
+
+    stage: int = 1
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-2
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    grad_clip_norm: float = 1.0
+    num_steps: int = 1000
+    warmup_steps: int = 0
+    gradient_accumulation: int = 1
+    ema_decay: float = 0.0  # 0 disables
+    face_loss_weight: float = 0.5  # reference configs/training/stage3.yaml
+    uncond_ratio: float = 0.1  # CFG dropout, reference configs/training/stage0.yaml
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 500
+    keep_checkpoints: int = 3
+    log_every: int = 50
+    eval_every: int = 0  # 0 disables
+    resume: bool = True
+    seed: int = 0
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class InferenceConfig:
+    """Windowed long-video inference
+    (reference EMOAnimationPipeline.py:563-567: context 16, overlap 4)."""
+
+    context_frames: int = 16
+    context_overlap: int = 4
+    context_stride: int = 1
+    video_length: int = 16
+    width: int = 256
+    height: int = 256
+    num_inference_steps: int = 50
+    guidance_scale: float = 7.5
+    fps: float = 25.0
+    interpolation_factor: int = 1  # latent slerp upsampling (reference util.py:128-138)
+    seed: int = 0
+
+
+_SECTIONS = {
+    "vae": VAEConfig,
+    "audio": AudioConfig,
+    "model": ModelConfig,
+    "diffusion": DiffusionConfig,
+    "mesh": MeshConfig,
+    "data": DataConfig,
+    "train": TrainConfig,
+    "inference": InferenceConfig,
+}
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level bundle of all sections."""
+
+    vae: VAEConfig = field(default_factory=VAEConfig)
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+def _build(cls, d: Dict[str, Any]):
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        raise ValueError(f"unknown {cls.__name__} fields: {sorted(unknown)}")
+    return cls(**d)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Dict[str, Any]]] = None) -> Config:
+    """Load a Config from YAML with optional nested-dict overrides."""
+    raw: Dict[str, Any] = {}
+    if path is not None:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    if overrides:
+        for sec, vals in overrides.items():
+            raw.setdefault(sec, {}).update(vals)
+    kwargs = {}
+    for sec, cls in _SECTIONS.items():
+        if sec in raw:
+            kwargs[sec] = _build(cls, raw[sec])
+    extra = set(raw) - set(_SECTIONS)
+    if extra:
+        raise ValueError(f"unknown config sections: {sorted(extra)}")
+    return Config(**kwargs)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    out = {}
+    for sec in _SECTIONS:
+        d = dataclasses.asdict(getattr(cfg, sec))
+        out[sec] = {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+    with open(path, "w") as f:
+        yaml.safe_dump(out, f, sort_keys=False)
+
+
+# Per-stage presets mirroring the reference recipes.
+def stage_presets(stage: int) -> Dict[str, Dict[str, Any]]:
+    """Hyperparameter presets per training stage
+    (reference configs/training/stage{1,2,3}.yaml)."""
+    if stage == 1:
+        return {"train": {"stage": 1, "learning_rate": 1e-4}, "data": {"batch_size": 4, "num_frames": 1}}
+    if stage == 2:
+        return {"train": {"stage": 2, "learning_rate": 1e-5}, "data": {"batch_size": 2, "num_frames": 8}}
+    if stage == 3:
+        return {"train": {"stage": 3, "learning_rate": 1e-5, "face_loss_weight": 0.5},
+                "data": {"batch_size": 2, "num_frames": 8}}
+    raise ValueError(f"stage must be 1, 2 or 3, got {stage}")

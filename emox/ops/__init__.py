@@ -1,0 +1,20 @@
+"""Pallas TPU kernels + XLA fallbacks for the hot ops.
+
+One blockwise flash-attention kernel serves all four attention layouts in the
+framework (spatial self-attention, reference-image K/V-concat attention,
+audio/text cross-attention, temporal attention) — replacing the reference's
+xformers `memory_efficient_attention` and sliced-attention paths
+(reference magicanimate/models/orig_attention.py:516-737,
+magicanimate/models/unet_controlnet.py:259-322).
+"""
+
+from emox.ops.attention import dot_product_attention, attention_xla, flash_attention
+from emox.ops.groupnorm import group_norm, group_norm_silu
+
+__all__ = [
+    "dot_product_attention",
+    "attention_xla",
+    "flash_attention",
+    "group_norm",
+    "group_norm_silu",
+]

@@ -1,0 +1,193 @@
+"""Blockwise (flash) attention as a Pallas TPU kernel.
+
+Replaces the reference's three attention codepaths — xformers
+`memory_efficient_attention` (reference magicanimate/models/orig_attention.py:729-737),
+`_sliced_attention` (reference orig_attention.py:686-727), and plain
+`_attention` (reference orig_attention.py:658-684) — with one online-softmax
+kernel that never materialises the [Lq, Lk] score matrix in HBM.
+
+Shapes: q [B, H, Lq, D], k/v [B, H, Lk, D] with Lk independent of Lq
+(cross-attention) and arbitrary D (padded to the 128-lane MXU width inside
+the wrapper; zero-padding the head dim is exact for both q@k^T and p@v).
+
+Backward pass: custom_vjp whose bwd recomputes attention via the XLA
+reference implementation (flash recompute strategy — no O(Lq*Lk) residuals
+are saved between fwd and bwd).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-specific memory spaces; absent on some CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_NEG_INF = -1e30
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None) -> jax.Array:
+    """Reference XLA implementation (fp32 softmax accumulation)."""
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, lk: int, block_k: int, lk_pad: int):
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, Dp)
+    block_q, dp = q.shape
+    num_kb = lk_pad // block_k
+
+    def body(i, carry):
+        acc, m, l = carry
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # (bk, Dp)
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+        s = jnp.where(col < lk, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, dp), jnp.float32)
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+
+def _flash_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bh = b * h
+
+    dp = _round_up(d, _LANE)
+    block_q = min(block_q, _round_up(lq, 16))
+    block_k = min(block_k, _round_up(lk, 16))
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    qf = q.reshape(bh, lq, d)
+    kf = k.reshape(bh, lk, d)
+    vf = v.reshape(bh, lk, d)
+    qf = jnp.pad(qf, ((0, 0), (0, lq_pad - lq), (0, dp - d)))
+    kf = jnp.pad(kf, ((0, 0), (0, lk_pad - lk), (0, dp - d)))
+    vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, dp - d)))
+
+    num_qb = lq_pad // block_q
+    mem = dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, lk=lk, block_k=block_k, lk_pad=lk_pad
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, dp), q.dtype),
+        grid=(bh, num_qb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0), **mem),
+            pl.BlockSpec((1, lk_pad, dp), lambda i, j: (i, 0, 0), **mem),
+            pl.BlockSpec((1, lk_pad, dp), lambda i, j: (i, 0, 0), **mem),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0), **mem),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq * lk * d,
+            bytes_accessed=2 * bh * (lq + 2 * lk) * d,
+            transcendentals=bh * lq * lk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :lq, :d].reshape(b, h, lq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, interpret):
+    return _flash_impl(q, k, v, scale, interpret=interpret)
+
+
+def _flash_fwd(q, k, v, scale, interpret):
+    return _flash_impl(q, k, v, scale, interpret=interpret), (q, k, v)
+
+
+def _flash_bwd(scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None, interpret: bool = False
+) -> jax.Array:
+    """Pallas flash attention. q [B,H,Lq,D], k/v [B,H,Lk,D] -> [B,H,Lq,D]."""
+    scale = float(q.shape[-1] ** -0.5) if scale is None else float(scale)
+    return _flash(q, k, v, scale, interpret)
+
+
+def _default_impl() -> str:
+    env = os.environ.get("EMOX_ATTENTION_IMPL")
+    if env:
+        return env
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        platform = "cpu"
+    # the axon tunnel reports platform "axon" for a real TPU chip
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatching entry point used by all nn modules.
+
+    impl: "pallas" (TPU kernel), "pallas_interpret" (debug), "xla"
+    (fallback / CPU). Default: pallas on TPU else xla, overridable via
+    EMOX_ATTENTION_IMPL.
+    """
+    impl = impl or _default_impl()
+    if impl == "pallas":
+        return flash_attention(q, k, v, scale)
+    if impl == "pallas_interpret":
+        return flash_attention(q, k, v, scale, interpret=True)
+    if impl == "xla":
+        return attention_xla(q, k, v, scale)
+    raise ValueError(f"unknown attention impl {impl!r}")
