@@ -1,0 +1,88 @@
+"""Benchmark: denoise-step throughput on the flagship config.
+
+Measures the BASELINE.json north-star metric: denoise steps/sec/chip for a
+16-frame 256^2 clip through the full conditioned step (ReferenceNet feature
+extraction + UNet3D with temporal/audio/speed/face conditioning), bf16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver-defined target of 1.0 flagship
+denoise steps/sec/chip (the reference publishes no numbers — SURVEY.md §6 —
+so the target anchors round-over-round comparison on the same metric).
+
+Env knobs: EMOX_BENCH_PRESET=flagship|small|tiny (default flagship),
+EMOX_BENCH_ITERS (default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from emox.core.presets import PRESETS
+    from emox.models.emo import EMOModel
+
+    preset = os.environ.get("EMOX_BENCH_PRESET", "flagship")
+    iters = int(os.environ.get("EMOX_BENCH_ITERS", "10"))
+    num_frames = 16
+    image_size = 256 if preset == "flagship" else (128 if preset == "small" else 32)
+    cfg = PRESETS[preset](image_size=image_size, num_frames=num_frames)
+    model = EMOModel(cfg, dtype=jnp.bfloat16)
+
+    params = jax.jit(lambda k: model.init_params(k, num_frames=num_frames, image_size=image_size))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+    lat = image_size // cfg.vae.downscale
+
+    @jax.jit
+    def denoise_step(params, noisy, t, ref_image, wav, speeds, face_mask):
+        ref_latent = model.encode_images(params, ref_image)
+        audio = model.encode_audio(params, wav, num_frames)
+        return model.predict_noise(
+            params, noisy, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask
+        )
+
+    key = jax.random.PRNGKey(1)
+    noisy = jax.random.normal(key, (1, num_frames, lat, lat, 4), jnp.bfloat16)
+    args = (
+        params,
+        noisy,
+        jnp.array([500], jnp.int32),
+        jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16),
+        jnp.zeros((1, int(16000 * (num_frames + 4) / 25.0)), jnp.bfloat16),
+        jnp.zeros((1, num_frames), jnp.bfloat16),
+        jnp.ones((1, image_size, image_size, 1), jnp.bfloat16),
+    )
+    out = denoise_step(*args)
+    out.block_until_ready()  # compile
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = denoise_step(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    steps_per_sec = 1.0 / dt
+
+    result = {
+        "metric": f"denoise steps/sec/chip ({preset}, {num_frames}f {image_size}^2, bf16, full conditioning)",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / 1.0, 4),
+        "extra": {
+            "ms_per_step": round(dt * 1e3, 2),
+            "frames_per_sec_equiv": round(steps_per_sec * num_frames, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

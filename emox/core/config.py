@@ -96,9 +96,17 @@ class ModelConfig:
     layers_per_block: int = 2
     norm_groups: int = 32
     attention_head_dim: int = 64
+    # 0: derive heads from attention_head_dim (TPU-friendly fixed head dim);
+    # >0: fixed head count with head_dim = channels // heads (SD-1.5 uses 8,
+    # required for faithful SD weight import)
+    attention_heads: int = 0
+    # "scale_shift" (TPU default) or "add" (SD-1.5 resnet convention,
+    # required for faithful SD weight import)
+    resnet_temb_mode: str = "scale_shift"
     cross_attention_dim: int = 768
-    # which resolutions get spatial/cross attention (index into multipliers)
-    attention_levels: Tuple[int, ...] = (1, 2, 3)
+    # which resolutions get spatial/cross attention (index into multipliers);
+    # (0, 1, 2) mirrors SD-1.5's CrossAttnDownBlock placement
+    attention_levels: Tuple[int, ...] = (0, 1, 2)
     # temporal motion modules (reference motion_module.py:42-334)
     use_temporal: bool = True
     temporal_pos_max_len: int = 24  # reference configs/inference.yaml / motion_module.py:235

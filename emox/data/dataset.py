@@ -1,0 +1,133 @@
+"""Stage-keyed dataset + batching loader over precomputed clip caches.
+
+Equivalent of the reference EMODataset's stage dispatch (reference
+Net.py:1189-1445: stage0-facelocator / stage1 frames / stage2
+temporal-audio / stage3 speed layers) but reading only precomputed arrays —
+no CV/audio work at iteration time. Raw audio waveform slices (with
+`context` frames of margin each side, zero-padded at clip edges) travel to
+the device; wav2vec2 encoding runs there as part of the compiled step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+STAGES = ("stage0-facelocator", "stage1", "stage2", "stage3")
+
+
+class EMODataset:
+    def __init__(
+        self,
+        cache_dir: str,
+        stage: str = "stage1",
+        num_frames: int = 8,
+        audio_context_frames: int = 2,
+        sample_rate: int = 16000,
+        fps: float = 25.0,
+    ):
+        if stage not in STAGES:
+            raise ValueError(f"stage must be one of {STAGES}, got {stage!r}")
+        self.stage = stage
+        self.num_frames = num_frames
+        self.ctx = audio_context_frames
+        self.sample_rate = sample_rate
+        self.fps = fps
+        man_path = os.path.join(cache_dir, "manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                manifest = json.load(f)
+            self.clips = [(cid, m["path"]) for cid, m in sorted(manifest.items())]
+        else:
+            self.clips = [
+                (fn[:-4], os.path.join(cache_dir, fn))
+                for fn in sorted(os.listdir(cache_dir))
+                if fn.endswith(".npz")
+            ]
+        if not self.clips:
+            raise ValueError(f"no clips in {cache_dir}")
+        self._cache: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def _load(self, path: str) -> Dict[str, np.ndarray]:
+        if path not in self._cache:
+            self._cache[path] = dict(np.load(path))
+        return self._cache[path]
+
+    def __len__(self) -> int:
+        return len(self.clips)
+
+    def _wav_slice(self, wav: np.ndarray, start_frame: int) -> np.ndarray:
+        """Waveform for frames [start-ctx, start+T+ctx), zero-padded."""
+        from emox.data import native
+
+        spf = self.sample_rate / self.fps
+        s0 = int(round((start_frame - self.ctx) * spf))
+        s1 = int(round((start_frame + self.num_frames + self.ctx) * spf))
+        return native.wav_window(wav, s0, s1 - s0)
+
+    def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        cid, path = self.clips[rng.integers(len(self.clips))]
+        clip = self._load(path)
+        frames, masks = clip["frames"], clip["face_masks"]
+        t_total = frames.shape[0]
+        if self.stage == "stage0-facelocator":
+            f = int(rng.integers(t_total))
+            return {"images": frames[f], "masks": masks[f]}
+        if self.stage == "stage1":
+            f, r = rng.integers(t_total, size=2)
+            return {"images": frames[int(f)], "ref_image": frames[int(r)]}
+        start = int(rng.integers(max(1, t_total - self.num_frames + 1)))
+        idx = np.arange(start, start + self.num_frames)
+        idx = np.clip(idx, 0, t_total - 1)
+        item = {
+            "frames": frames[idx],
+            "ref_image": frames[int(rng.integers(t_total))],
+            "wav": self._wav_slice(clip["wav"], start),
+        }
+        if self.stage == "stage3":
+            item["speeds"] = clip["pose_speeds"][idx]
+            item["masks"] = masks[idx[0]]  # conditioning mask from first frame
+        return item
+
+
+class DataLoader:
+    """Batched iterator with deterministic shuffling + optional background
+    prefetch thread (host-side double buffering)."""
+
+    def __init__(self, dataset: EMODataset, batch_size: int, seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def _make_batch(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        items = [self.dataset.sample(rng) for _ in range(self.batch_size)]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed)
+        if self.prefetch <= 0:
+            while True:
+                yield self._make_batch(rng)
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    q.put(self._make_batch(rng), timeout=0.5)
+                except queue_mod.Full:
+                    continue
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

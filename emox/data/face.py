@@ -1,0 +1,146 @@
+"""Face-region masks + head-pose math.
+
+Capability-parity rework of the reference FaceHelper (reference
+Net.py:861-1156): padded-bbox face masks, PnP head pose (yaw/pitch/roll)
+from 6 canonical landmarks, per-frame pose-velocity series.
+
+MediaPipe is not a dependency here. Landmarks come from any provider:
+  * explicit landmark arrays (e.g. exported offline by any detector),
+  * the trained emox FaceLocator model's mask -> bbox/centroid (the
+    reference's own stage-0 design, reference Net.py:819-855),
+  * a geometric prior fallback (centre ellipse) for bootstrap/testing.
+All outputs are plain numpy — this runs offline in precompute, never on
+the TPU hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+# canonical 3D face model points for the 6 PnP landmarks the reference uses
+# (nose tip, chin, left/right eye outer corner, left/right mouth corner —
+# reference Net.py:872 HEAD_POSE_LANDMARKS indexes the same feature set)
+CANONICAL_3D = np.array(
+    [
+        [0.0, 0.0, 0.0],        # nose tip
+        [0.0, -330.0, -65.0],   # chin
+        [-225.0, 170.0, -135.0],  # left eye outer
+        [225.0, 170.0, -135.0],   # right eye outer
+        [-150.0, -150.0, -125.0],  # left mouth corner
+        [150.0, -150.0, -125.0],   # right mouth corner
+    ],
+    dtype=np.float64,
+)
+
+
+def camera_matrix(height: int, width: int) -> np.ndarray:
+    """Pinhole intrinsics with focal = 1.28 * height (reference camera.py:51-58)."""
+    focal = 1.28 * height
+    return np.array([[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]], dtype=np.float64)
+
+
+def head_pose_from_landmarks(landmarks_2d: np.ndarray, height: int, width: int) -> Optional[np.ndarray]:
+    """6x2 pixel landmarks -> (pitch, yaw, roll) degrees via solvePnP +
+    Rodrigues (reference Net.py:995-1076 get_head_pose)."""
+    if not _HAS_CV2:
+        return None
+    lm = np.asarray(landmarks_2d, np.float64).reshape(6, 2)
+    ok, rvec, _ = cv2.solvePnP(CANONICAL_3D, lm, camera_matrix(height, width), np.zeros((4, 1)))
+    if not ok:
+        return None
+    rmat, _ = cv2.Rodrigues(rvec)
+    sy = np.sqrt(rmat[0, 0] ** 2 + rmat[1, 0] ** 2)
+    if sy > 1e-6:
+        pitch = np.arctan2(rmat[2, 1], rmat[2, 2])
+        yaw = np.arctan2(-rmat[2, 0], sy)
+        roll = np.arctan2(rmat[1, 0], rmat[0, 0])
+    else:
+        pitch = np.arctan2(-rmat[1, 2], rmat[1, 1])
+        yaw = np.arctan2(-rmat[2, 0], sy)
+        roll = 0.0
+    return np.degrees([pitch, yaw, roll]).astype(np.float32)
+
+
+def pose_velocities(poses: np.ndarray, fps: float = 25.0, normalize: float = 180.0) -> np.ndarray:
+    """[T, 3] euler degrees -> [T] scalar head-rotation speed per frame,
+    normalised to roughly [-1, 1] territory for the speed buckets
+    (reference Net.py:1089-1156 get_head_pose_velocities_at_frame)."""
+    t = poses.shape[0]
+    v = np.zeros(t, np.float32)
+    if t > 1:
+        d = np.diff(poses, axis=0) * fps / normalize  # deg/s scaled
+        v[1:] = np.linalg.norm(d, axis=-1)
+    return np.clip(v, 0.0, 1.0)
+
+
+def mask_from_bbox(height: int, width: int, bbox: Tuple[int, int, int, int], pad_ratio: float = 0.1) -> np.ndarray:
+    """Padded bbox -> binary [H, W, 1] mask (reference Net.py:881-926
+    generate_face_region_mask semantics)."""
+    x0, y0, x1, y1 = bbox
+    pw, ph = int((x1 - x0) * pad_ratio), int((y1 - y0) * pad_ratio)
+    x0, y0 = max(0, x0 - pw), max(0, y0 - ph)
+    x1, y1 = min(width, x1 + pw), min(height, y1 + ph)
+    m = np.zeros((height, width, 1), np.float32)
+    m[y0:y1, x0:x1] = 1.0
+    return m
+
+
+def mask_from_probability(prob: np.ndarray, threshold: float = 0.5) -> np.ndarray:
+    """FaceLocator sigmoid output [H, W, 1] -> bbox mask."""
+    binary = prob[..., 0] > threshold
+    ys, xs = np.where(binary)
+    h, w = prob.shape[:2]
+    if len(ys) == 0:
+        return geometric_prior_mask(h, w)
+    return mask_from_bbox(h, w, (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1))
+
+
+def geometric_prior_mask(height: int, width: int) -> np.ndarray:
+    """Centre-weighted prior for bootstrap when no detector is available:
+    portrait datasets (CelebV-HQ crops) centre the face."""
+    yy, xx = np.mgrid[0:height, 0:width]
+    e = ((yy - 0.45 * height) / (0.38 * height)) ** 2 + ((xx - 0.5 * width) / (0.32 * width)) ** 2 <= 1.0
+    return e[..., None].astype(np.float32)
+
+
+class FaceHelper:
+    """Mask + pose provider with pluggable landmark source."""
+
+    def __init__(self, landmark_fn=None, locator_fn=None):
+        """landmark_fn(frame_rgb_u8) -> [6, 2] pixel landmarks or None;
+        locator_fn(frame_float[-1,1]) -> [H, W, 1] probability mask."""
+        self.landmark_fn = landmark_fn
+        self.locator_fn = locator_fn
+
+    def face_mask(self, frame: np.ndarray) -> np.ndarray:
+        h, w = frame.shape[:2]
+        if self.locator_fn is not None:
+            return mask_from_probability(np.asarray(self.locator_fn(frame)))
+        return geometric_prior_mask(h, w)
+
+    def head_pose(self, frame: np.ndarray) -> Optional[np.ndarray]:
+        if self.landmark_fn is None:
+            return None
+        lm = self.landmark_fn(frame)
+        if lm is None:
+            return None
+        return head_pose_from_landmarks(lm, frame.shape[0], frame.shape[1])
+
+    def pose_speed_series(self, frames: Sequence[np.ndarray], fps: float = 25.0) -> np.ndarray:
+        poses = []
+        last = np.zeros(3, np.float32)
+        for fr in frames:
+            p = self.head_pose(fr)
+            last = p if p is not None else last
+            poses.append(last)
+        return pose_velocities(np.stack(poses), fps)

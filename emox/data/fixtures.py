@@ -1,0 +1,114 @@
+"""Deterministic synthetic audio-visual fixtures.
+
+Replaces the reference's fixture generator (reference
+junk/AudioAttention/synthesize.py:10-57 used AudioGen + Stable Diffusion to
+make paired audio/image samples) with a zero-dependency, fixed-seed
+generator: each clip is a moving "head" (ellipse) whose mouth opening tracks
+the audio amplitude envelope — so audio->expression correlation actually
+exists in the data and overfit tests can verify the model learns it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def _envelope(wav: np.ndarray, sr: int, num_frames: int, fps: float) -> np.ndarray:
+    """Per-video-frame RMS amplitude of the waveform, normalised to [0,1]."""
+    env = np.zeros(num_frames, np.float32)
+    spf = int(sr / fps)
+    for f in range(num_frames):
+        seg = wav[f * spf : (f + 1) * spf]
+        env[f] = np.sqrt(np.mean(seg**2)) if len(seg) else 0.0
+    m = env.max()
+    return env / m if m > 0 else env
+
+
+def make_synthetic_clip(
+    seed: int = 0,
+    num_frames: int = 16,
+    height: int = 64,
+    width: int = 64,
+    fps: float = 25.0,
+    sample_rate: int = 16000,
+) -> Dict[str, np.ndarray]:
+    """Returns dict with:
+    frames        [T, H, W, 3] float32 in [-1, 1]
+    face_masks    [T, H, W, 1] float32 in {0, 1}
+    wav           [S] float32
+    head_centers  [T, 2] float32 (cy, cx) normalised
+    pose_speeds   [T] float32 head-motion speed per frame (normalised)
+    """
+    rng = np.random.default_rng(seed)
+    dur = num_frames / fps
+    t_audio = np.arange(int(sample_rate * dur)) / sample_rate
+    # speech-ish audio: AM-modulated harmonic stack with pauses
+    f0 = 110 + 40 * rng.random()
+    am = 0.5 + 0.5 * np.sin(2 * np.pi * (1.5 + rng.random()) * t_audio + rng.random() * 6)
+    gate = (np.sin(2 * np.pi * (0.7 + 0.4 * rng.random()) * t_audio) > -0.3).astype(np.float32)
+    wav = np.zeros_like(t_audio, dtype=np.float32)
+    for k in range(1, 4):
+        wav += np.sin(2 * np.pi * f0 * k * t_audio + rng.random() * 6).astype(np.float32) / k
+    wav = (wav * am * gate * 0.3).astype(np.float32)
+
+    env = _envelope(wav, sample_rate, num_frames, fps)
+
+    # head trajectory: slow wander
+    phase = rng.random() * 2 * np.pi
+    cy = 0.5 + 0.12 * np.sin(2 * np.pi * 0.4 * np.arange(num_frames) / fps + phase)
+    cx = 0.5 + 0.15 * np.sin(2 * np.pi * 0.3 * np.arange(num_frames) / fps + phase * 0.7)
+    centers = np.stack([cy, cx], -1).astype(np.float32)
+    speeds = np.zeros(num_frames, np.float32)
+    speeds[1:] = np.linalg.norm(np.diff(centers, axis=0), axis=-1) * fps
+    speeds = np.clip(speeds / 2.0, 0, 1)
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    frames = np.zeros((num_frames, height, width, 3), np.float32)
+    masks = np.zeros((num_frames, height, width, 1), np.float32)
+    skin = rng.random(3).astype(np.float32) * 0.4 + 0.4
+    bg = rng.random(3).astype(np.float32) * 0.3 - 0.8
+    for f in range(num_frames):
+        fy, fx = cy[f] * height, cx[f] * width
+        ry, rx = 0.28 * height, 0.22 * width
+        head = ((yy - fy) / ry) ** 2 + ((xx - fx) / rx) ** 2 <= 1.0
+        img = np.broadcast_to(bg, (height, width, 3)).copy()
+        img[head] = skin
+        # eyes
+        for ex in (-0.4, 0.4):
+            eye = ((yy - (fy - 0.3 * ry)) / (0.12 * ry)) ** 2 + ((xx - (fx + ex * rx)) / (0.18 * rx)) ** 2 <= 1.0
+            img[eye] = (-0.6, -0.6, -0.6)
+        # mouth opens with audio envelope
+        mh = (0.08 + 0.35 * env[f]) * ry
+        mouth = ((yy - (fy + 0.45 * ry)) / mh) ** 2 + ((xx - fx) / (0.35 * rx)) ** 2 <= 1.0
+        img[mouth] = (-0.7, -0.2, -0.2)
+        frames[f] = img
+        masks[f, head, 0] = 1.0
+    return {
+        "frames": frames,
+        "face_masks": masks,
+        "wav": wav,
+        "head_centers": centers,
+        "pose_speeds": speeds,
+    }
+
+
+def write_fixture_dataset(
+    out_dir: str, num_clips: int = 4, seed: int = 0, num_frames: int = 16, size: int = 64, fps: float = 25.0
+) -> str:
+    """Writes clip .npz files + metadata json (CelebV-HQ-style clip listing,
+    reference data/overfit.json / Net.py:1216-1228) into out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+    clips = {}
+    for i in range(num_clips):
+        cid = f"synthetic_{i:03d}"
+        clip = make_synthetic_clip(seed + i, num_frames, size, size, fps)
+        np.savez_compressed(os.path.join(out_dir, f"{cid}.npz"), **clip)
+        clips[cid] = {"frames": num_frames, "fps": fps, "height": size, "width": size}
+    meta_path = os.path.join(out_dir, "metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump({"clips": clips}, f)
+    return meta_path

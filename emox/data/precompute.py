@@ -1,0 +1,149 @@
+"""Offline preprocessing: video/audio -> cached training arrays.
+
+The reference did ALL of this inside Dataset.__getitem__ per step (decord
+decode, MediaPipe masks, PnP pose, wav2vec2 features — reference
+Net.py:1254-1445), starving the accelerator. Here it runs once, offline,
+writing one .npz per clip; the training loader only does array slicing.
+
+Sources: .mp4 (decoded via cv2.VideoCapture + ffmpeg wav extraction when
+available) or pre-made .npz fixture clips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+from emox.data.face import FaceHelper
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+
+def read_video_frames(path: str, width: int, height: int, max_frames: Optional[int] = None) -> np.ndarray:
+    """mp4 -> [T, H, W, 3] float32 in [-1, 1] (cv2 replaces the reference's
+    decord/PyAV readers, reference Net.py:1163-1186, videoreader.py:31-156)."""
+    if not _HAS_CV2:
+        raise RuntimeError("cv2 unavailable; provide .npz clips instead")
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok or (max_frames and len(frames) >= max_frames):
+            break
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        frame = cv2.resize(frame, (width, height), interpolation=cv2.INTER_AREA)
+        frames.append(frame.astype(np.float32) / 127.5 - 1.0)
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames)
+
+
+def extract_wav(path: str, sample_rate: int = 16000) -> Optional[np.ndarray]:
+    """mp4 -> mono float32 waveform via ffmpeg (the reference used
+    moviepy+librosa, reference Net.py:628-644)."""
+    try:
+        out = subprocess.run(
+            ["ffmpeg", "-v", "quiet", "-i", path, "-f", "f32le", "-ac", "1", "-ar", str(sample_rate), "-"],
+            capture_output=True, check=True,
+        ).stdout
+        return np.frombuffer(out, np.float32).copy()
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def resample_linear(wav: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear-interpolation resampler (librosa replacement for our rates);
+    uses the native kernel when libemoxhost.so is built."""
+    if src_rate == dst_rate:
+        return wav.astype(np.float32)
+    from emox.data import native
+
+    return native.resample_linear(wav, float(src_rate), float(dst_rate))
+
+
+def precompute_clip(
+    src_path: str,
+    out_path: str,
+    width: int = 256,
+    height: int = 256,
+    fps: float = 25.0,
+    sample_rate: int = 16000,
+    face_helper: Optional[FaceHelper] = None,
+    max_frames: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """One clip -> {frames, face_masks, wav, pose_speeds} npz."""
+    if src_path.endswith(".npz"):
+        clip = dict(np.load(src_path))
+        frames = clip["frames"]
+        if max_frames:
+            frames = frames[:max_frames]
+        wav = clip.get("wav", np.zeros(int(len(frames) / fps * sample_rate), np.float32))
+        masks = clip.get("face_masks")
+        speeds = clip.get("pose_speeds")
+    else:
+        frames = read_video_frames(src_path, width, height, max_frames)
+        wav = extract_wav(src_path, sample_rate)
+        if wav is None:
+            wav = np.zeros(int(len(frames) / fps * sample_rate), np.float32)
+        masks = speeds = None
+
+    fh = face_helper or FaceHelper()
+    if masks is None:
+        masks = np.stack([fh.face_mask(f) for f in frames])
+    if speeds is None:
+        speeds = fh.pose_speed_series(list(frames), fps)
+        if speeds is None or not np.any(speeds):
+            speeds = np.zeros(len(frames), np.float32)
+    out = {
+        "frames": frames.astype(np.float32),
+        "face_masks": masks.astype(np.float32),
+        "wav": wav.astype(np.float32),
+        "pose_speeds": speeds.astype(np.float32),
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez_compressed(out_path, **out)
+    return out
+
+
+def precompute_dataset(
+    metadata_json: str,
+    video_dir: str,
+    cache_dir: str,
+    width: int = 256,
+    height: int = 256,
+    fps: float = 25.0,
+    face_helper: Optional[FaceHelper] = None,
+) -> str:
+    """CelebV-HQ-style metadata {clips: {id: ...}} -> cache of npz files +
+    cache manifest (reference ExtractFrames.py:22-85 + EMODataset wiring)."""
+    with open(metadata_json) as f:
+        meta = json.load(f)
+    os.makedirs(cache_dir, exist_ok=True)
+    manifest = {}
+    for cid in meta["clips"]:
+        src = None
+        for ext in (".mp4", ".npz"):
+            cand = os.path.join(video_dir, cid + ext)
+            if os.path.exists(cand):
+                src = cand
+                break
+        if src is None:
+            continue
+        out_path = os.path.join(cache_dir, cid + ".npz")
+        clip = precompute_clip(src, out_path, width, height, fps, face_helper=face_helper)
+        manifest[cid] = {"frames": int(clip["frames"].shape[0]), "path": out_path}
+    man_path = os.path.join(cache_dir, "manifest.json")
+    with open(man_path, "w") as f:
+        json.dump(manifest, f)
+    return man_path

@@ -1,0 +1,237 @@
+"""EMOPipeline: one reference image + audio -> talking-head video.
+
+The compiled, TPU-native equivalent of the reference's
+EMOAnimationPipeline.__call__ (reference EMOAnimationPipeline.py:543-835):
+
+  * classifier-free guidance via batch doubling (uncond = zeroed reference
+    features + zeroed audio; reference used empty-prompt embeddings +
+    uncond-masked attention banks, EMOAnimationPipeline.py:641-679,
+    mutual_self_attention.py:243-255),
+  * short clips: single lax.scan DDIM loop; long clips: overlapping
+    context windows from a static WindowPlan, scatter-add accumulation
+    (reference context.py + the rank-sharded window loop at :757),
+  * autoregressive segment continuation with motion-frame latent locking
+    (the reference's motion-frames design, reference Net.py:44-72,
+    EMODataset motion_frames) for arbitrarily long videos,
+  * optional latent frame interpolation (reference :479-512).
+
+Everything from VAE encode to VAE decode runs inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emox.core.config import Config
+from emox.diffusion.context import window_plan
+from emox.diffusion.interp import interpolate_latents
+from emox.diffusion.sampler import cfg_combine
+from emox.diffusion.schedule import add_noise, ddim_step, inference_timesteps, make_schedule
+from emox.models.emo import EMOModel, Params
+
+
+class EMOPipeline:
+    def __init__(self, model: EMOModel, config: Optional[Config] = None):
+        self.model = model
+        self.config = config or model.config
+        self.sched = make_schedule(self.config.diffusion)
+        self._jitted: Dict = {}
+
+    # ---- conditioning ----------------------------------------------------
+    def _prepare(self, params: Params, ref_image: jax.Array, wav: jax.Array, num_frames: int):
+        ref_latent = self.model.encode_images(params, ref_image)
+        audio = self.model.encode_audio(params, wav, num_frames)
+        return ref_latent, audio
+
+    def _model_out(self, params, latents, t, ref_latent, audio, speeds, face_mask, guidance_scale):
+        """CFG-combined noise prediction for the full latent clip."""
+        cond = self.model.predict_noise(
+            params, latents, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask
+        )
+        if guidance_scale == 1.0:
+            return cond
+        uncond = self.model.predict_noise(
+            params, latents, t, jnp.zeros_like(ref_latent),
+            audio_windows=None if audio is None else jnp.zeros_like(audio),
+            speeds=None, face_mask=None,
+        )
+        return cfg_combine(uncond, cond, guidance_scale)
+
+    # ---- samplers --------------------------------------------------------
+    def _sample_short(
+        self, params, key, ref_latent, audio, speeds, face_mask, num_frames, num_steps,
+        guidance_scale, lock_latents=None, num_locked=0,
+    ):
+        """Single-window DDIM scan. If lock_latents is given, the first
+        num_locked frames are re-noised known latents each step
+        (motion-frame continuation)."""
+        h = ref_latent.shape[1]
+        w = ref_latent.shape[2]
+        c = ref_latent.shape[3]
+        b = ref_latent.shape[0]
+        ts = inference_timesteps(self.sched.num_train_timesteps, num_steps)
+        ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+        k_init, k_lock = jax.random.split(key)
+        latents = jax.random.normal(k_init, (b, num_frames, h, w, c))
+
+        def body(lat, step):
+            t, t_prev, k = step
+            tb = jnp.full((b,), t, jnp.int32)
+            if lock_latents is not None and num_locked > 0:
+                noised = add_noise(self.sched, lock_latents, jax.random.normal(k, lock_latents.shape), tb)
+                lat = jnp.concatenate([noised[:, :num_locked], lat[:, num_locked:]], axis=1)
+            out = self._model_out(params, lat, tb, ref_latent, audio, speeds, face_mask, guidance_scale)
+            lat = ddim_step(self.sched, out, lat, tb, jnp.full((b,), t_prev, jnp.int32))
+            return lat, None
+
+        keys = jax.random.split(k_lock, num_steps)
+        final, _ = jax.lax.scan(body, latents, (ts, ts_prev, keys))
+        return final
+
+    def _sample_windowed(
+        self, params, key, ref_latent, audio, speeds, face_mask, num_frames, num_steps, guidance_scale,
+    ):
+        icfg = self.config.inference
+        plan = window_plan(
+            num_steps, num_frames, icfg.context_frames, icfg.context_stride, icfg.context_overlap
+        )
+        b, h, w, c = ref_latent.shape
+        latents = jax.random.normal(key, (b, num_frames, h, w, c))
+        indices = jnp.asarray(plan.indices)
+        weights = jnp.asarray(plan.weights)
+        ts = inference_timesteps(self.sched.num_train_timesteps, num_steps)
+        ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+
+        def denoise_window(w_lat, tb, w_idx):
+            a = None if audio is None else jnp.take(audio, w_idx, axis=1)
+            s = None if speeds is None else jnp.take(speeds, w_idx, axis=1)
+            return self._model_out(params, w_lat, tb, ref_latent, a, s, face_mask, guidance_scale)
+
+        def body(lat, step):
+            t, t_prev, idx, w8 = step
+            tb = jnp.full((b,), t, jnp.int32)
+            windows = lat[:, idx].transpose(1, 0, 2, 3, 4, 5)  # [W, B, c, h, w, C]
+            preds = jax.vmap(lambda wl, wi: denoise_window(wl, tb, wi))(windows, idx)
+            preds = preds * w8[:, None, None, None, None, None]
+            wc = idx.shape[0] * idx.shape[1]
+            flat_idx = idx.reshape(wc)
+            flat = preds.transpose(1, 0, 2, 3, 4, 5).reshape(b, wc, h, w, c)
+            nsum = jnp.zeros_like(lat).at[:, flat_idx].add(flat)
+            counts = jnp.zeros((num_frames,), jnp.float32).at[flat_idx].add(jnp.repeat(w8, idx.shape[1]))
+            out = nsum / jnp.maximum(counts, 1e-6)[None, :, None, None, None]
+            lat = ddim_step(self.sched, out, lat, tb, jnp.full((b,), t_prev, jnp.int32))
+            return lat, None
+
+        final, _ = jax.lax.scan(body, latents, (ts, ts_prev, indices, weights))
+        return final
+
+    # ---- public API ------------------------------------------------------
+    def generate_latents(
+        self,
+        params: Params,
+        ref_image: jax.Array,  # [B, H, W, 3] in [-1, 1]
+        wav: jax.Array,  # [B, S]
+        video_length: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        speeds: Optional[jax.Array] = None,
+        face_mask: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+        lock_latents: Optional[jax.Array] = None,
+        num_locked: int = 0,
+    ) -> jax.Array:
+        icfg = self.config.inference
+        T = video_length or icfg.video_length
+        steps = num_inference_steps or icfg.num_inference_steps
+        g = icfg.guidance_scale if guidance_scale is None else guidance_scale
+        key = key if key is not None else jax.random.PRNGKey(icfg.seed)
+        ref_latent, audio = self._prepare(params, ref_image, wav, T)
+        if T <= icfg.context_frames:
+            return self._sample_short(
+                params, key, ref_latent, audio, speeds, face_mask, T, steps, g, lock_latents, num_locked
+            )
+        return self._sample_windowed(params, key, ref_latent, audio, speeds, face_mask, T, steps, g)
+
+    def __call__(
+        self,
+        params: Params,
+        ref_image: jax.Array,
+        wav: jax.Array,
+        video_length: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        speeds: Optional[jax.Array] = None,
+        face_mask: Optional[jax.Array] = None,
+        key: Optional[jax.Array] = None,
+        interpolation_factor: Optional[int] = None,
+    ) -> jax.Array:
+        """Returns video frames [B, T, H, W, 3] in [-1, 1]."""
+        cache_key = ("call", video_length, num_inference_steps, guidance_scale,
+                     speeds is not None, face_mask is not None, interpolation_factor)
+        if cache_key not in self._jitted:
+            def run(params, ref_image, wav, speeds, face_mask, key):
+                lat = self.generate_latents(
+                    params, ref_image, wav, video_length, num_inference_steps,
+                    guidance_scale, speeds, face_mask, key,
+                )
+                f = interpolation_factor or self.config.inference.interpolation_factor
+                if f > 1:
+                    lat = interpolate_latents(lat, f, mode="slerp")
+                return self.model.decode_latents(params, lat)
+
+            self._jitted[cache_key] = jax.jit(run)
+        key = key if key is not None else jax.random.PRNGKey(self.config.inference.seed)
+        return self._jitted[cache_key](params, ref_image, wav, speeds, face_mask, key)
+
+    def generate_long(
+        self,
+        params: Params,
+        ref_image: jax.Array,
+        wav: jax.Array,
+        total_frames: int,
+        segment_length: int = 16,
+        num_motion_frames: int = 2,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Autoregressive long-video generation: each segment locks its first
+        num_motion_frames latent frames to the previous segment's tail (the
+        reference's motion-frames conditioning, reference Net.py:44-72)."""
+        icfg = self.config.inference
+        key = key if key is not None else jax.random.PRNGKey(icfg.seed)
+        sr = self.config.audio.sample_rate
+        fps = self.config.audio.video_fps
+        segs = []
+        produced = 0
+        prev_tail = None
+        while produced < total_frames:
+            first = prev_tail is None
+            new = min(segment_length - (0 if first else num_motion_frames), total_frames - produced)
+            seg_frames = new + (0 if first else num_motion_frames)
+            start_frame = produced - (0 if first else num_motion_frames)
+            s0 = max(0, int(start_frame / fps * sr))
+            s1 = int((start_frame + seg_frames) / fps * sr)
+            wav_seg = jnp.zeros((wav.shape[0], s1 - s0)).at[:, : min(wav.shape[1], s1) - s0].set(
+                wav[:, s0 : min(wav.shape[1], s1)]
+            )
+            key, sub = jax.random.split(key)
+            lock = None
+            if not first:
+                pad = jnp.zeros((prev_tail.shape[0], seg_frames - num_motion_frames, *prev_tail.shape[2:]))
+                lock = jnp.concatenate([prev_tail, pad], axis=1)
+            lat = self.generate_latents(
+                params, ref_image, wav_seg, video_length=seg_frames,
+                num_inference_steps=num_inference_steps, guidance_scale=guidance_scale,
+                key=sub, lock_latents=lock,
+                num_locked=0 if first else num_motion_frames,
+            )
+            segs.append(lat if first else lat[:, num_motion_frames:])
+            prev_tail = lat[:, -num_motion_frames:]
+            produced += new
+        latents = jnp.concatenate(segs, axis=1)[:, :total_frames]
+        return self.model.decode_latents(params, latents)

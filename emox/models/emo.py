@@ -1,0 +1,136 @@
+"""EMOModel: the full composition (reference Net.py:415-518).
+
+Bundles VAE + ReferenceNet (writer) + denoising UNet3D (reader) +
+audio encoder + face locator into one object with explicit param trees per
+submodel — the TPU-native equivalent of the reference's EMOModel, with the
+audio/speed/face conditioning actually wired into the denoiser (the
+reference passed them into a UNet that ignored them,
+reference EMOAnimationPipeline.py:777-786 vs unet_controlnet.py:328-339).
+
+All methods are pure functions of (params, inputs) — jit/pjit friendly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from emox.core.config import Config
+from emox.models.audio import AudioEncoder, align_audio_to_frames, audio_feature_rate
+from emox.models.unet import UNet, reference_net_config
+from emox.models.vae import AutoencoderKL
+from emox.nn.conditioners import FaceLocator
+
+Params = Dict[str, Any]
+
+
+@dataclass
+class EMOModules:
+    vae: AutoencoderKL
+    reference_net: UNet
+    denoiser: UNet
+    audio_encoder: AudioEncoder
+    face_locator: FaceLocator
+
+
+class EMOModel:
+    def __init__(self, config: Config, dtype=jnp.float32, param_dtype=jnp.float32):
+        self.config = config
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        self.modules = EMOModules(
+            vae=AutoencoderKL(config.vae, **kw),
+            reference_net=UNet(reference_net_config(config.model), **kw),
+            denoiser=UNet(config.model, **kw),
+            audio_encoder=AudioEncoder(config.audio, **kw),
+            face_locator=FaceLocator(**kw),
+        )
+
+    # ---- init ------------------------------------------------------------
+    def init_params(self, key: jax.Array, num_frames: int = 2, image_size: Optional[int] = None) -> Params:
+        cfg = self.config
+        size = image_size or cfg.data.height
+        lat = size // cfg.vae.downscale
+        kv, kr, kd, ka, kf = jax.random.split(key, 5)
+        img = jnp.zeros((1, size, size, 3))
+        ref_lat = jnp.zeros((1, lat, lat, cfg.model.in_channels))
+        vid_lat = jnp.zeros((1, num_frames, lat, lat, cfg.model.in_channels))
+        ts = jnp.zeros((1,), jnp.int32)
+        wav = jnp.zeros((1, cfg.audio.sample_rate))  # 1 second
+        params: Params = {}
+        params["vae"] = self.modules.vae.init(kv, img)["params"]
+        params["reference_net"] = self.modules.reference_net.init(kr, ref_lat, ts, emit_ref=True)["params"]
+        ref_feats = self.reference_features({"reference_net": params["reference_net"]}, ref_lat, ts)
+        params["audio_encoder"] = self.modules.audio_encoder.init(ka, wav)["params"]
+        feats = self.modules.audio_encoder.apply({"params": params["audio_encoder"]}, wav)
+        audio_win = align_audio_to_frames(
+            feats, num_frames, audio_feature_rate(cfg.audio), cfg.audio.video_fps, cfg.audio.context_frames
+        )
+        params["denoiser"] = self.modules.denoiser.init(
+            kd,
+            vid_lat,
+            ts,
+            ref_features=ref_feats,
+            audio=audio_win,
+            speeds=jnp.zeros((1, num_frames)),
+            face_mask=jnp.zeros((1, size, size, 1)),
+        )["params"]
+        params["face_locator"] = self.modules.face_locator.init(kf, img)["params"]
+        return params
+
+    # ---- submodel applies --------------------------------------------------
+    def encode_images(self, params: Params, images: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
+        """[..., H, W, 3] in [-1,1] -> scaled latents [..., h, w, 4]."""
+        shape = images.shape
+        flat = images.reshape(-1, *shape[-3:])
+        dist = self.modules.vae.apply({"params": params["vae"]}, flat, method=AutoencoderKL.encode)
+        z = dist.sample(key) if key is not None else dist.mode()
+        z = z * self.config.vae.scaling_factor
+        return z.reshape(*shape[:-3], *z.shape[-3:])
+
+    def decode_latents(self, params: Params, latents: jax.Array) -> jax.Array:
+        shape = latents.shape
+        flat = latents.reshape(-1, *shape[-3:]) / self.config.vae.scaling_factor
+        img = self.modules.vae.apply({"params": params["vae"]}, flat, method=AutoencoderKL.decode)
+        return img.reshape(*shape[:-3], *img.shape[-3:])
+
+    def reference_features(self, params: Params, ref_latent: jax.Array, timesteps: jax.Array):
+        out = self.modules.reference_net.apply(
+            {"params": params["reference_net"]}, ref_latent, timesteps, emit_ref=True
+        )
+        return out.ref_features
+
+    def encode_audio(self, params: Params, wav: jax.Array, num_frames: int) -> jax.Array:
+        cfg = self.config.audio
+        feats = self.modules.audio_encoder.apply({"params": params["audio_encoder"]}, wav)
+        return align_audio_to_frames(feats, num_frames, audio_feature_rate(cfg), cfg.video_fps, cfg.context_frames)
+
+    def locate_face(self, params: Params, images: jax.Array) -> jax.Array:
+        return self.modules.face_locator.apply({"params": params["face_locator"]}, images)
+
+    # ---- the paper-shaped forward (reference Net.py:476-518) --------------
+    def predict_noise(
+        self,
+        params: Params,
+        noisy_latents: jax.Array,  # [B, T, h, w, 4]
+        timesteps: jax.Array,  # [B]
+        ref_latent: jax.Array,  # [B, h, w, 4]
+        audio_windows: Optional[jax.Array] = None,  # [B, T, A, D]
+        speeds: Optional[jax.Array] = None,  # [B, T]
+        face_mask: Optional[jax.Array] = None,  # [B, H, W, 1]
+        context: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        ref_feats = self.reference_features(params, ref_latent, timesteps)
+        out = self.modules.denoiser.apply(
+            {"params": params["denoiser"]},
+            noisy_latents,
+            timesteps,
+            context=context,
+            ref_features=ref_feats,
+            audio=audio_windows,
+            speeds=speeds,
+            face_mask=face_mask,
+        )
+        return out.sample

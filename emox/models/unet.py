@@ -1,0 +1,174 @@
+"""The UNet: one module, two roles.
+
+Role 1 (ReferenceNet / "writer"): run on the reference-image latent with
+`emit_ref=True`; every spatial transformer site returns its pre-attention
+LayerNormed tokens. This replaces the reference's AppearanceEncoder + bank
+monkey-patching (reference magicanimate/models/appearance_encoder.py,
+mutual_self_attention.py:229-236) with an explicit feature pytree.
+
+Role 2 (denoiser / "reader"): run on noisy video latents with
+`ref_features=` from role 1 — each site concatenates the writer tokens into
+its self-attention K/V (reference mutual_self_attention.py:237-241) — plus
+the conditioning the reference declared but never wired into the UNet
+(reference EMOAnimationPipeline.py:777-786 vs unet_controlnet.py:328-339):
+
+  * audio cross-attention after each spatial transformer,
+  * speed-bucket embedding added to the (per-frame) time embedding,
+  * face-region mask conv-encoded and added after conv_in,
+  * AnimateDiff-style temporal attention at every attention site + mid.
+
+Topology mirrors the SD-1.5 UNet family the reference inflates (reference
+magicanimate/models/unet_controlnet.py:54-160, unet_3d_blocks.py:30-750):
+conv_in -> down levels (ResBlock -> attn stack, downsample between levels)
+-> mid -> up levels with skip concats -> GN+SiLU -> conv_out. NHWC,
+frames folded into batch for all spatial ops.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from emox.core.config import ModelConfig
+from emox.nn.attention_blocks import AudioCrossAttention, SpatialTransformer, TemporalTransformer
+from emox.nn.blocks import Downsample, FusedGroupNorm, ResBlock, Upsample, fold_time, unfold_time
+from emox.nn.conditioners import FaceMaskEncoder, SpeedEncoder
+from emox.nn.embeddings import TimestepEmbedder
+
+
+class UNetOutputs(NamedTuple):
+    sample: jax.Array
+    ref_features: Optional[List[List[jax.Array]]]  # per attention site, per depth block
+
+
+class UNet(nn.Module):
+    cfg: ModelConfig
+    spatial_depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _heads(self, ch: int):
+        """(heads, head_dim): fixed head count (SD convention) when
+        cfg.attention_heads > 0, else fixed TPU-friendly head dim."""
+        if self.cfg.attention_heads > 0:
+            return self.cfg.attention_heads, ch // self.cfg.attention_heads
+        heads = max(1, ch // self.cfg.attention_head_dim)
+        return heads, self.cfg.attention_head_dim
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, h, w, C_in] or [B, h, w, C_in]
+        timesteps: jax.Array,  # [B]
+        context: Optional[jax.Array] = None,  # [B, Lc, cross_dim]
+        ref_features: Optional[List[List[jax.Array]]] = None,
+        audio: Optional[jax.Array] = None,  # [B, T, A, audio_dim]
+        speeds: Optional[jax.Array] = None,  # [B] or [B, T]
+        face_mask: Optional[jax.Array] = None,  # [B, H, W, 1] pixel space
+        emit_ref: bool = False,
+    ) -> UNetOutputs:
+        cfg = self.cfg
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        squeeze = x.ndim == 4
+        if squeeze:
+            x = x[:, None]
+        b, t, _, _, _ = x.shape
+        chans = list(cfg.block_channels)
+        temb_dim = 4 * cfg.base_channels
+
+        # ---- embeddings -------------------------------------------------
+        temb = TimestepEmbedder(temb_dim, cfg.base_channels, name="time_embed", **kw)(timesteps)
+        if cfg.use_speed and speeds is not None:
+            sp = speeds if speeds.ndim == 2 else jnp.broadcast_to(speeds[:, None], (b, t))
+            spe = SpeedEncoder(
+                temb_dim, cfg.num_speed_buckets, cfg.speed_bucket_radius, name="speed_embed", **kw
+            )(sp.reshape(b * t, 1))
+            temb = jnp.repeat(temb, t, axis=0) + spe  # [(B T), D] per-frame
+        if context is None and cfg.attention_levels:
+            null = self.param("null_context", nn.initializers.normal(0.02), (1, 1, cfg.cross_attention_dim), self.param_dtype)
+            context = jnp.broadcast_to(null, (b, 1, cfg.cross_attention_dim)).astype(self.dtype)
+        ctx_frames = None if context is None else jnp.repeat(context, t, axis=0)
+
+        # ---- conv_in + face mask residual -------------------------------
+        h, _ = fold_time(x.astype(self.dtype))
+        h = nn.Conv(chans[0], (3, 3), name="conv_in", **kw)(h)
+        if cfg.use_face_mask and face_mask is not None:
+            ds = face_mask.shape[1] // x.shape[2]
+            num_downs = max(0, ds.bit_length() - 1)
+            mf = FaceMaskEncoder(chans[0], num_downs=num_downs, name="face_mask_encoder", **kw)(face_mask)
+            h = h + jnp.repeat(mf, t, axis=0)
+
+        banks: List[List[jax.Array]] = []
+        site = 0
+
+        def attn_stack(h, level_ch, name):
+            """spatial (+ref) -> audio cross -> temporal, at one site."""
+            nonlocal site, banks
+            heads, head_dim = self._heads(level_ch)
+            rkv = None
+            if ref_features is not None and not emit_ref:
+                rkv = [jnp.repeat(r, t, axis=0) for r in ref_features[site]]
+            h, bank = SpatialTransformer(
+                heads, head_dim, depth=self.spatial_depth,
+                groups=cfg.norm_groups, name=f"{name}_attn", **kw,
+            )(h, context=ctx_frames, ref_kv=rkv)
+            if emit_ref:
+                banks.append(bank)
+            site += 1
+            hv = unfold_time(h, t)
+            if cfg.use_audio and audio is not None:
+                hv = AudioCrossAttention(
+                    heads, head_dim, groups=cfg.norm_groups, name=f"{name}_audio", **kw
+                )(hv, audio)
+            if cfg.use_temporal and t > 1:
+                hv = TemporalTransformer(
+                    heads, head_dim, max_len=cfg.temporal_pos_max_len, name=f"{name}_temporal", **kw
+                )(hv)
+            h, _ = fold_time(hv)
+            return h
+
+        # ---- down path ---------------------------------------------------
+        skips = [h]
+        for level, ch in enumerate(chans):
+            for i in range(cfg.layers_per_block):
+                h, _ = fold_time(ResBlock(ch, groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name=f"down_{level}_res_{i}", **kw)(unfold_time(h, t), temb))
+                if level in cfg.attention_levels:
+                    h = attn_stack(h, ch, f"down_{level}_{i}")
+                skips.append(h)
+            if level < len(chans) - 1:
+                h, _ = fold_time(Downsample(ch, name=f"down_{level}_ds", **kw)(unfold_time(h, t)))
+                skips.append(h)
+
+        # ---- mid ---------------------------------------------------------
+        h, _ = fold_time(ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name="mid_res_0", **kw)(unfold_time(h, t), temb))
+        h = attn_stack(h, chans[-1], "mid")
+        h, _ = fold_time(ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name="mid_res_1", **kw)(unfold_time(h, t), temb))
+
+        # ---- up path -----------------------------------------------------
+        for level, ch in reversed(list(enumerate(chans))):
+            for i in range(cfg.layers_per_block + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h, _ = fold_time(ResBlock(ch, groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name=f"up_{level}_res_{i}", **kw)(unfold_time(h, t), temb))
+                if level in cfg.attention_levels:
+                    h = attn_stack(h, ch, f"up_{level}_{i}")
+            if level > 0:
+                h, _ = fold_time(Upsample(ch, name=f"up_{level}_us", **kw)(unfold_time(h, t)))
+
+        # ---- out ---------------------------------------------------------
+        h = FusedGroupNorm(cfg.norm_groups, silu=True, param_dtype=self.param_dtype, name="norm_out")(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), name="conv_out", **kw)(h)
+        out = unfold_time(h, t)
+        if squeeze:
+            out = out[:, 0]
+        return UNetOutputs(sample=out, ref_features=banks if emit_ref else None)
+
+
+def reference_net_config(cfg: ModelConfig) -> ModelConfig:
+    """Derive the 2D ReferenceNet config from the denoiser config: same
+    topology (so attention sites align 1:1), no video-only conditioning."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, use_temporal=False, use_audio=False, use_speed=False, use_face_mask=False)

@@ -1,0 +1,241 @@
+"""Transformer blocks: spatial, temporal, and audio-cross attention.
+
+All variants route through emox.ops.dot_product_attention (one Pallas flash
+kernel, different token layouts):
+
+  * SpatialTransformer — self-attention over H*W tokens per frame, with
+    optional reference-image K/V concatenation. This replaces the reference's
+    runtime attention hijack (reference
+    magicanimate/models/mutual_self_attention.py:229-255: writer banks +
+    monkey-patched BasicTransformerBlock.forward) with an explicit
+    `ref_kv` argument — pure function, no hidden state.
+  * TemporalTransformer — attention across the frame axis per spatial
+    location ((b f) d c -> (b d) f c, reference
+    magicanimate/models/motion_module.py:278-284), sinusoidal positional
+    encoding capped at max_len (reference motion_module.py:230-248), and a
+    zero-initialised output projection (reference motion_module.py:79-80)
+    so freshly-added temporal layers are identity.
+  * AudioCrossAttention — per-frame cross-attention from latent tokens (Q)
+    to the frame's wav2vec2 feature window (K/V), the EMO audio conditioning
+    the reference declared but never wired into the denoiser (reference
+    Net.py:263-325 AudioAttentionLayers; EMOAnimationPipeline.py:783 vs
+    unet_controlnet.py:328-339). Zero-initialised output projection so
+    stage-2 starts from stage-1 behaviour.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from emox.nn.blocks import FusedGroupNorm
+from emox.nn.embeddings import sinusoidal_positions
+from emox.ops.attention import dot_product_attention
+
+
+class Attention(nn.Module):
+    """Multi-head attention over token sequences [N, L, C].
+
+    context=None -> self-attention. `extra_kv` tokens (e.g. reference-image
+    features) are appended to K/V only.
+    """
+
+    heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    zero_init_out: bool = False
+    qkv_bias: bool = False  # SD UNet: False; SD VAE mid-attn / wav2vec2: True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        extra_kv: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        inner = self.heads * self.head_dim
+        out_dim = self.out_dim or x.shape[-1]
+        ctx = x if context is None else context
+        if extra_kv is not None:
+            ctx = jnp.concatenate([ctx, extra_kv.astype(ctx.dtype)], axis=1)
+        dense = lambda d, name: nn.Dense(
+            d, use_bias=self.qkv_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q = dense(inner, "to_q")(x)
+        k = dense(inner, "to_k")(ctx)
+        v = dense(inner, "to_v")(ctx)
+
+        def split_heads(t):
+            n, l, _ = t.shape
+            return t.reshape(n, l, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(split_heads(q), split_heads(k), split_heads(v))
+        n, h, l, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(n, l, h * d)
+        out_init = nn.initializers.zeros if self.zero_init_out else nn.initializers.lecun_normal()
+        return nn.Dense(
+            out_dim, kernel_init=out_init, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out"
+        )(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP (reference magicanimate/models/orig_attention.py GEGLU/FeedForward)."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        h = nn.Dense(dim * self.mult * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)  # exact erf (torch F.gelu parity)
+        return nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+
+
+class TransformerBlock(nn.Module):
+    """self-attn (+ref K/V) -> cross-attn (text/CLIP context) -> GEGLU FF,
+    each pre-LayerNormed with residuals (reference
+    magicanimate/models/attention.py:164-319 BasicTransformerBlock)."""
+
+    heads: int
+    head_dim: int
+    use_cross: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        ref_kv: Optional[jax.Array] = None,
+    ):
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        attn = lambda name, **kw: Attention(
+            self.heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name, **kw
+        )
+        normed1 = ln("norm1")(x)
+        x = x + attn("attn1")(normed1, extra_kv=ref_kv)
+        if self.use_cross and context is not None:
+            x = x + attn("attn2")(ln("norm2")(x), context=context)
+        x = x + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))
+        # normed1 is what a ReferenceNet "writer" banks for the reader's
+        # self-attention K/V concat (reference mutual_self_attention.py:229-241)
+        return x, normed1
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> linear proj -> TransformerBlocks over H*W tokens -> proj + residual
+    (reference magicanimate/models/attention.py:48-161 Transformer3DModel,
+    frames folded into batch)."""
+
+    heads: int
+    head_dim: int
+    depth: int = 1
+    groups: int = 32
+    use_cross: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [(B T), H, W, C]
+        context: Optional[jax.Array] = None,  # [(B T), Lc, Cc]
+        ref_kv: Optional[list] = None,  # per-depth-block [(B T), Lr, C]
+    ):
+        n, h, w, c = x.shape
+        residual = x
+        hdn = FusedGroupNorm(self.groups, param_dtype=self.param_dtype, name="norm")(x)
+        hdn = hdn.reshape(n, h * w, c)
+        hdn = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(hdn)
+        banks = []
+        for i in range(self.depth):
+            hdn, normed1 = TransformerBlock(
+                self.heads, self.head_dim, use_cross=self.use_cross,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"block_{i}",
+            )(hdn, context=context, ref_kv=None if ref_kv is None else ref_kv[i])
+            banks.append(normed1)
+        hdn = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(hdn)
+        return residual + hdn.reshape(n, h, w, c), banks
+
+
+class TemporalTransformer(nn.Module):
+    """Attention across frames per spatial location, zero-init output.
+
+    Input [B, T, H, W, C]; tokens are the T frames at each (h, w). Identity
+    at init (zero proj_out), mirroring AnimateDiff motion-module insertion
+    semantics (reference magicanimate/models/motion_module.py:42-334).
+    """
+
+    heads: int
+    head_dim: int
+    depth: int = 1
+    max_len: int = 24
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        residual = x
+        tokens = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        pe = sinusoidal_positions(self.max_len, c)[:t].astype(tokens.dtype)
+        tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm_in")(tokens)
+        tokens = tokens + pe[None]
+        for i in range(self.depth):
+            ln = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_{i}")
+            attn = Attention(
+                self.heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=f"attn_{i}"
+            )
+            tokens = tokens + attn(ln(tokens))
+            lnf = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_ff_{i}")
+            tokens = tokens + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name=f"ff_{i}")(
+                lnf(tokens)
+            )
+        out = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+        )(tokens)
+        out = out.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+        return residual + out
+
+
+class AudioCrossAttention(nn.Module):
+    """Per-frame cross-attention: latent tokens (Q) -> audio window (K/V).
+
+    Input x [B, T, H, W, C], audio [B, T, A, Ca] (A = 2*ctx+1 wav2vec2
+    feature vectors per frame, reference Net.py:646-667). Zero-init output
+    projection: adding audio layers to a stage-1 model is a no-op at init.
+    """
+
+    heads: int
+    head_dim: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, audio: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        ba, ta, a, ca = audio.shape
+        residual = x
+        tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(
+            x.reshape(b * t, h * w, c)
+        )
+        ctx = audio.reshape(b * t, a, ca).astype(tokens.dtype)
+        out = Attention(
+            self.heads,
+            self.head_dim,
+            zero_init_out=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(tokens, context=ctx)
+        return residual + out.reshape(b, t, h, w, c)

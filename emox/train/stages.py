@@ -1,0 +1,161 @@
+"""Per-stage losses + trainable-parameter masks.
+
+The reference's 3-stage recipe (reference train_stage_1_referencenet.py,
+train_stage_2_temporal_audio.py, train_stage_3_speedlayers.py), plus the
+stage-0 FaceLocator pretraining its configs describe (reference
+configs/training/stage0.yaml, Net.py:819-855):
+
+  stage0  FaceLocator mask prediction (BCE-with-logits).
+  stage1  single-frame denoising with reference conditioning; trains
+          denoiser spatial weights + ReferenceNet (the reference froze all
+          but part of the UNet, train_stage_1_referencenet.py:92-94 — we
+          train the full spatial stack since we own the whole model).
+  stage2  video clips: trains ONLY temporal + audio-cross-attention layers
+          (zero-init, so training starts from stage-1 behaviour); audio
+          encoder (wav2vec2) stays frozen like the reference's
+          (train_stage_2_temporal_audio.py:516-525).
+  stage3  trains ONLY speed embedding + face-mask encoder (reference
+          train_stage_3_speedlayers.py:349-354), with the face-region
+          weighted loss (reference :419-430) — but using schedule-consistent
+          noising, fixing the reference's ad-hoc `latents + noise*t` wart
+          (reference :407).
+
+Losses use min-SNR-gamma weighting, noise offset, and CFG conditioning
+dropout per reference configs/training/stage0.yaml (snr_gamma 5.0,
+noise_offset 0.05, uncond_ratio 0.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from emox.core.config import Config
+from emox.diffusion.schedule import Schedule, add_noise, get_velocity, min_snr_loss_weight
+from emox.models.audio import audio_feature_rate
+from emox.models.emo import EMOModel, Params
+
+STAGE_DESCRIPTIONS = {
+    0: "FaceLocator mask prediction",
+    1: "single-frame reference denoising",
+    2: "temporal + audio attention",
+    3: "speed + face-region control layers",
+}
+
+# param-name substrings per conditioning family (denoiser collection)
+_TEMPORAL_KEYS = ("_temporal",)
+_AUDIO_KEYS = ("_audio",)
+_SPEED_KEYS = ("speed_embed",)
+_FACE_KEYS = ("face_mask_encoder",)
+
+
+def _mask_tree(params: Params, pred: Callable[[str], bool]) -> Any:
+    """Boolean pytree matching params: pred over '/'-joined path."""
+
+    def from_path(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        return pred("/".join(str(k) for k in keys))
+
+    return jax.tree_util.tree_map_with_path(from_path, params)
+
+
+def trainable_mask(params: Params, stage: int) -> Any:
+    """True = optimizer updates this leaf. Top-level keys: vae,
+    reference_net, denoiser, audio_encoder, face_locator."""
+
+    def pred(path: str) -> bool:
+        top = path.split("/")[0]
+        if stage == 0:
+            return top == "face_locator"
+        if top in ("vae", "audio_encoder", "face_locator"):
+            return False  # frozen in stages 1-3
+        is_temporal = any(k in path for k in _TEMPORAL_KEYS)
+        is_audio = any(k in path for k in _AUDIO_KEYS)
+        is_speed = any(k in path for k in _SPEED_KEYS)
+        is_face = any(k in path for k in _FACE_KEYS)
+        if stage == 1:
+            # spatial stack only (temporal/audio/speed/face stay at init)
+            return not (is_temporal or is_audio or is_speed or is_face)
+        if stage == 2:
+            return is_temporal or is_audio
+        if stage == 3:
+            return is_speed or is_face
+        raise ValueError(f"bad stage {stage}")
+
+    return _mask_tree(params, pred)
+
+
+def _downsample_mask(mask: jax.Array, h: int, w: int) -> jax.Array:
+    """Pixel-space face mask [B, H, W, 1] -> latent-res [B, 1, h, w, 1]."""
+    out = jax.image.resize(mask, (mask.shape[0], h, w, 1), method="bilinear")
+    return out[:, None]
+
+
+def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
+    """Returns loss(params, batch, key) -> (loss, metrics)."""
+    dcfg = config.diffusion
+    acfg = config.audio
+
+    def facelocator_loss(params: Params, batch: Dict, key: jax.Array):
+        logits = model.locate_face(params, batch["images"])
+        labels = batch["masks"]
+        bce = jnp.mean(
+            jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+        iou_pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        inter = jnp.sum(iou_pred * labels)
+        union = jnp.sum(jnp.maximum(iou_pred, labels))
+        return bce, {"loss": bce, "iou": inter / jnp.maximum(union, 1.0)}
+
+    def denoise_loss(params: Params, batch: Dict, key: jax.Array):
+        k_enc, k_noise, k_t, k_off, k_drop = jax.random.split(key, 5)
+        if stage == 1:
+            frames = batch["images"][:, None]  # [B, 1, H, W, 3]
+        else:
+            frames = batch["frames"]
+        b, t = frames.shape[:2]
+        latents = model.encode_images(params, frames, key=k_enc)
+        ref_latent = model.encode_images(params, batch["ref_image"])
+        noise = jax.random.normal(k_noise, latents.shape)
+        if dcfg.noise_offset > 0:
+            noise = noise + dcfg.noise_offset * jax.random.normal(k_off, (b, 1, 1, 1, 1))
+        ts = jax.random.randint(k_t, (b,), 0, sched.num_train_timesteps)
+        noisy = add_noise(sched, latents, noise, ts)
+
+        audio_windows = None
+        if stage >= 2:
+            feats = model.modules.audio_encoder.apply({"params": params["audio_encoder"]}, batch["wav"])
+            from emox.models.audio import align_audio_to_frames
+
+            audio_windows = align_audio_to_frames(
+                feats, t, audio_feature_rate(acfg), acfg.video_fps, acfg.context_frames,
+                frame_offset=acfg.context_frames,
+            )
+            # CFG dropout on audio conditioning
+            if config.train.uncond_ratio > 0:
+                keep = jax.random.bernoulli(k_drop, 1.0 - config.train.uncond_ratio, (b, 1, 1, 1))
+                audio_windows = audio_windows * keep
+
+        speeds = batch.get("speeds") if stage == 3 else None
+        face_mask = batch.get("masks") if stage == 3 else None
+
+        pred = model.predict_noise(
+            params, noisy, ts, ref_latent, audio_windows=audio_windows,
+            speeds=speeds, face_mask=face_mask,
+        )
+        target = noise if sched.prediction_type == "epsilon" else get_velocity(sched, latents, noise, ts)
+        err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        per_sample = jnp.mean(err, axis=tuple(range(1, err.ndim)))
+        w = min_snr_loss_weight(sched, ts, dcfg.snr_gamma)
+        loss = jnp.mean(w * per_sample)
+        metrics = {"loss": loss, "mse": jnp.mean(per_sample)}
+        if stage == 3 and face_mask is not None:
+            lm = _downsample_mask(face_mask, latents.shape[2], latents.shape[3])
+            face_err = jnp.sum(err * lm) / (jnp.sum(lm) * err.shape[1] * err.shape[-1] + 1e-6)
+            loss = loss + config.train.face_loss_weight * face_err
+            metrics = {"loss": loss, "mse": metrics["mse"], "face_mse": face_err}
+        return loss, metrics
+
+    return facelocator_loss if stage == 0 else denoise_loss

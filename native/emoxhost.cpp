@@ -1,0 +1,177 @@
+// emoxhost — native host-side data-path kernels for emox.
+//
+// The reference leans on third-party native code for its host data path
+// (decord/PyAV video decode, librosa resampling — reference Net.py:7,16,
+// magicanimate/utils/videoreader.py). emox's equivalents are implemented
+// here in C++ and exposed through a C ABI consumed via ctypes
+// (emox/data/native.py), with pure-numpy fallbacks when the library is not
+// built. These run on dataloader threads and release the GIL (ctypes calls
+// drop it), so preprocessing overlaps TPU step time even on few cores.
+//
+// Build: make -C native   ->  native/libemoxhost.so
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---- version ----------------------------------------------------------
+int eh_abi_version() { return 1; }
+
+// ---- audio ------------------------------------------------------------
+
+// Linear-interpolation resampler: src[n_src] @ src_rate -> dst[n_dst].
+// n_dst must equal round(n_src * dst_rate / src_rate) as computed by the
+// caller; the mapping matches numpy.interp on the same grids.
+void eh_resample_linear(const float* src, int64_t n_src, double src_rate,
+                        float* dst, int64_t n_dst, double dst_rate) {
+  if (n_src <= 0 || n_dst <= 0) return;
+  const double step = src_rate / dst_rate;
+  for (int64_t i = 0; i < n_dst; ++i) {
+    const double pos = i * step;
+    const int64_t i0 = std::min<int64_t>((int64_t)pos, n_src - 1);
+    const int64_t i1 = std::min<int64_t>(i0 + 1, n_src - 1);
+    const double frac = pos - (double)i0;
+    dst[i] = (float)((1.0 - frac) * src[i0] + frac * src[i1]);
+  }
+}
+
+// Zero-padded waveform window: out[out_n] = wav[start : start+out_n] with
+// out-of-range samples set to 0 (the dataset's audio-margin slicing,
+// emox/data/dataset.py::_wav_slice).
+void eh_wav_window(const float* wav, int64_t n, int64_t start, float* out,
+                   int64_t out_n) {
+  for (int64_t i = 0; i < out_n; ++i) {
+    const int64_t j = start + i;
+    out[i] = (j >= 0 && j < n) ? wav[j] : 0.0f;
+  }
+}
+
+// Per-video-frame RMS envelope (fixtures/diagnostics).
+void eh_rms_envelope(const float* wav, int64_t n, double samples_per_frame,
+                     float* out, int64_t frames) {
+  for (int64_t f = 0; f < frames; ++f) {
+    const int64_t a = (int64_t)(f * samples_per_frame);
+    const int64_t b = std::min<int64_t>((int64_t)((f + 1) * samples_per_frame), n);
+    double acc = 0.0;
+    for (int64_t i = a; i < b; ++i) acc += (double)wav[i] * wav[i];
+    const int64_t len = b - a;
+    out[f] = len > 0 ? (float)std::sqrt(acc / (double)len) : 0.0f;
+  }
+}
+
+// ---- pixels -----------------------------------------------------------
+
+// uint8 HWC -> float32 [-1, 1] (frame normalisation hot loop).
+void eh_u8_to_unit_f32(const uint8_t* src, float* dst, int64_t n) {
+  constexpr float kScale = 1.0f / 127.5f;
+  for (int64_t i = 0; i < n; ++i) dst[i] = (float)src[i] * kScale - 1.0f;
+}
+
+// float32 [-1, 1] -> uint8 (video writer path).
+void eh_unit_f32_to_u8(const float* src, uint8_t* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    float v = (src[i] + 1.0f) * 127.5f;
+    v = std::min(255.0f, std::max(0.0f, v));
+    dst[i] = (uint8_t)(v + 0.5f);
+  }
+}
+
+// Bilinear resize, float32 HWC (align_corners=false, half-pixel centers —
+// matches cv2.INTER_LINEAR / jax.image "linear").
+void eh_resize_bilinear_f32(const float* src, int sh, int sw, int c,
+                            float* dst, int dh, int dw) {
+  const double sy = (double)sh / dh, sx = (double)sw / dw;
+  for (int y = 0; y < dh; ++y) {
+    double fy = (y + 0.5) * sy - 0.5;
+    fy = std::max(0.0, std::min(fy, (double)sh - 1));
+    const int y0 = (int)fy, y1 = std::min(y0 + 1, sh - 1);
+    const double wy = fy - y0;
+    for (int x = 0; x < dw; ++x) {
+      double fx = (x + 0.5) * sx - 0.5;
+      fx = std::max(0.0, std::min(fx, (double)sw - 1));
+      const int x0 = (int)fx, x1 = std::min(x0 + 1, sw - 1);
+      const double wx = fx - x0;
+      for (int k = 0; k < c; ++k) {
+        const double v00 = src[(y0 * sw + x0) * c + k];
+        const double v01 = src[(y0 * sw + x1) * c + k];
+        const double v10 = src[(y1 * sw + x0) * c + k];
+        const double v11 = src[(y1 * sw + x1) * c + k];
+        dst[(y * dw + x) * c + k] =
+            (float)((1 - wy) * ((1 - wx) * v00 + wx * v01) +
+                    wy * ((1 - wx) * v10 + wx * v11));
+      }
+    }
+  }
+}
+
+// ---- prefetch ring ----------------------------------------------------
+// A bounded MPMC byte-buffer queue: dataloader threads push finished
+// batches, the feed thread pops. Replaces Python-queue handoff so the
+// buffer hand-over itself never holds the GIL.
+
+struct EhQueue {
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<std::vector<uint8_t>> items;
+  size_t capacity;
+  std::atomic<bool> closed{false};
+};
+
+void* eh_queue_create(int64_t capacity) {
+  auto* q = new EhQueue();
+  q->capacity = (size_t)std::max<int64_t>(1, capacity);
+  return q;
+}
+
+void eh_queue_destroy(void* h) { delete (EhQueue*)h; }
+
+void eh_queue_close(void* h) {
+  auto* q = (EhQueue*)h;
+  q->closed = true;
+  q->cv_push.notify_all();
+  q->cv_pop.notify_all();
+}
+
+// returns 1 on success, 0 if closed
+int eh_queue_push(void* h, const uint8_t* data, int64_t size) {
+  auto* q = (EhQueue*)h;
+  std::unique_lock<std::mutex> lk(q->mu);
+  q->cv_push.wait(lk, [&] { return q->items.size() < q->capacity || q->closed; });
+  if (q->closed) return 0;
+  q->items.emplace_back(data, data + size);
+  q->cv_pop.notify_one();
+  return 1;
+}
+
+// returns size of popped item (copied into out, up to max_size), -1 if
+// closed+empty, -2 if item larger than max_size (item is dropped back).
+int64_t eh_queue_pop(void* h, uint8_t* out, int64_t max_size) {
+  auto* q = (EhQueue*)h;
+  std::unique_lock<std::mutex> lk(q->mu);
+  q->cv_pop.wait(lk, [&] { return !q->items.empty() || q->closed; });
+  if (q->items.empty()) return -1;
+  auto& front = q->items.front();
+  if ((int64_t)front.size() > max_size) return -2;
+  const int64_t n = (int64_t)front.size();
+  std::memcpy(out, front.data(), front.size());
+  q->items.pop_front();
+  q->cv_push.notify_one();
+  return n;
+}
+
+int64_t eh_queue_size(void* h) {
+  auto* q = (EhQueue*)h;
+  std::lock_guard<std::mutex> lk(q->mu);
+  return (int64_t)q->items.size();
+}
+
+}  // extern "C"

@@ -1,0 +1,140 @@
+"""Data pipeline tests: fixtures, face/pose math, precompute, dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from emox.data.dataset import DataLoader, EMODataset
+from emox.data.face import (
+    geometric_prior_mask,
+    head_pose_from_landmarks,
+    mask_from_bbox,
+    mask_from_probability,
+    pose_velocities,
+)
+from emox.data.fixtures import make_synthetic_clip, write_fixture_dataset
+from emox.data.precompute import precompute_clip, precompute_dataset, resample_linear
+
+
+class TestFixtures:
+    def test_deterministic(self):
+        a = make_synthetic_clip(seed=3, num_frames=4, height=32, width=32)
+        b = make_synthetic_clip(seed=3, num_frames=4, height=32, width=32)
+        np.testing.assert_array_equal(a["frames"], b["frames"])
+        np.testing.assert_array_equal(a["wav"], b["wav"])
+
+    def test_shapes_and_ranges(self):
+        c = make_synthetic_clip(seed=0, num_frames=8, height=32, width=32, fps=25.0)
+        assert c["frames"].shape == (8, 32, 32, 3)
+        assert c["face_masks"].shape == (8, 32, 32, 1)
+        assert c["wav"].shape == (int(16000 * 8 / 25),)
+        assert c["pose_speeds"].shape == (8,)
+        assert c["frames"].min() >= -1.001 and c["frames"].max() <= 1.001
+        assert set(np.unique(c["face_masks"])) <= {0.0, 1.0}
+        # audio-visual correlation exists: mouth pixels vary with envelope
+        assert c["face_masks"].sum() > 0
+
+    def test_write_dataset(self, tmp_path):
+        meta = write_fixture_dataset(str(tmp_path), num_clips=2, num_frames=4, size=32)
+        with open(meta) as f:
+            m = json.load(f)
+        assert len(m["clips"]) == 2
+        for cid in m["clips"]:
+            assert os.path.exists(tmp_path / f"{cid}.npz")
+
+
+class TestFace:
+    def test_head_pose_frontal(self):
+        """Symmetric frontal landmarks -> near-zero yaw/roll."""
+        h = w = 100
+        lm = np.array([[50, 50], [50, 85], [30, 35], [70, 35], [38, 65], [62, 65]], np.float64)
+        pose = head_pose_from_landmarks(lm, h, w)
+        assert pose is not None
+        _, yaw, roll = pose
+        assert abs(yaw) < 10 and abs(roll) < 10
+
+    def test_pose_velocities(self):
+        poses = np.zeros((5, 3), np.float32)
+        poses[2:] = [10, 0, 0]  # jump at frame 2
+        v = pose_velocities(poses, fps=25.0)
+        assert v[0] == 0 and v[1] == 0
+        assert v[2] > 0 and v[3] == 0
+
+    def test_masks(self):
+        m = mask_from_bbox(32, 32, (8, 8, 24, 24), pad_ratio=0.0)
+        assert m.shape == (32, 32, 1) and m.sum() == 16 * 16
+        g = geometric_prior_mask(32, 32)
+        assert g[16, 16, 0] == 1.0 and g[0, 0, 0] == 0.0
+        prob = np.zeros((32, 32, 1), np.float32)
+        prob[10:20, 12:22] = 0.9
+        mp = mask_from_probability(prob)
+        assert mp[15, 15, 0] == 1.0 and mp[2, 2, 0] == 0.0
+
+
+class TestPrecompute:
+    def test_resample(self):
+        wav = np.sin(np.linspace(0, 20 * np.pi, 44100)).astype(np.float32)
+        out = resample_linear(wav, 44100, 16000)
+        assert abs(len(out) - 16000) <= 1
+
+    def test_precompute_from_npz(self, tmp_path):
+        clip = make_synthetic_clip(seed=0, num_frames=4, height=32, width=32)
+        src = tmp_path / "clip.npz"
+        np.savez_compressed(src, **clip)
+        out = precompute_clip(str(src), str(tmp_path / "cache" / "clip.npz"))
+        assert out["frames"].shape[0] == 4
+        assert os.path.exists(tmp_path / "cache" / "clip.npz")
+
+    def test_precompute_dataset(self, tmp_path):
+        vdir = tmp_path / "videos"
+        meta = write_fixture_dataset(str(vdir), num_clips=2, num_frames=4, size=32)
+        man = precompute_dataset(meta, str(vdir), str(tmp_path / "cache"), width=32, height=32)
+        with open(man) as f:
+            manifest = json.load(f)
+        assert len(manifest) == 2
+
+
+@pytest.fixture(scope="module")
+def cache_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cache")
+    vdir = d / "videos"
+    meta = write_fixture_dataset(str(vdir), num_clips=2, num_frames=8, size=32)
+    precompute_dataset(str(meta), str(vdir), str(d / "cache"), width=32, height=32)
+    return str(d / "cache")
+
+
+class TestDataset:
+    def test_stage_keys(self, cache_dir):
+        rng = np.random.default_rng(0)
+        ds0 = EMODataset(cache_dir, "stage0-facelocator", num_frames=4)
+        assert set(ds0.sample(rng)) == {"images", "masks"}
+        ds1 = EMODataset(cache_dir, "stage1", num_frames=4)
+        assert set(ds1.sample(rng)) == {"images", "ref_image"}
+        ds2 = EMODataset(cache_dir, "stage2", num_frames=4)
+        s2 = ds2.sample(rng)
+        assert set(s2) == {"frames", "ref_image", "wav"}
+        assert s2["frames"].shape[0] == 4
+        ds3 = EMODataset(cache_dir, "stage3", num_frames=4)
+        s3 = ds3.sample(rng)
+        assert set(s3) == {"frames", "ref_image", "wav", "speeds", "masks"}
+        assert s3["speeds"].shape == (4,)
+
+    def test_wav_slice_length_includes_context(self, cache_dir):
+        ds = EMODataset(cache_dir, "stage2", num_frames=4, audio_context_frames=2, fps=25.0)
+        s = ds.sample(np.random.default_rng(0))
+        expect = int(round((4 + 4) * 16000 / 25.0))
+        assert abs(len(s["wav"]) - expect) <= 2
+
+    def test_loader_batching_deterministic(self, cache_dir):
+        ds = EMODataset(cache_dir, "stage1", num_frames=4)
+        dl1 = iter(DataLoader(ds, batch_size=3, seed=7, prefetch=0))
+        dl2 = iter(DataLoader(ds, batch_size=3, seed=7, prefetch=0))
+        b1, b2 = next(dl1), next(dl2)
+        assert b1["images"].shape == (3, 32, 32, 3)
+        np.testing.assert_array_equal(b1["images"], b2["images"])
+
+    def test_bad_stage_raises(self, cache_dir):
+        with pytest.raises(ValueError):
+            EMODataset(cache_dir, "stage9")

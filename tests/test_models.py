@@ -1,0 +1,160 @@
+"""Model-level tests: UNet site alignment, VAE shapes, audio alignment,
+EMO composition (tiny configs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emox.core.config import AudioConfig, Config, DataConfig, ModelConfig, VAEConfig
+from emox.models.audio import AudioEncoder, align_audio_to_frames, audio_feature_rate
+from emox.models.emo import EMOModel
+from emox.models.unet import UNet, reference_net_config
+from emox.models.vae import AutoencoderKL, DiagonalGaussian
+
+
+def tiny_config() -> Config:
+    return Config(
+        vae=VAEConfig(base_channels=16, channel_multipliers=(1, 2), num_res_blocks=1, norm_groups=4, sample_size=32),
+        model=ModelConfig(
+            base_channels=16, channel_multipliers=(1, 2), layers_per_block=1, norm_groups=4,
+            attention_head_dim=8, cross_attention_dim=16, attention_levels=(0, 1), audio_context_dim=32,
+        ),
+        audio=AudioConfig(hidden_dim=32, num_layers=1, num_heads=2, conv_dim=16),
+        data=DataConfig(width=32, height=32, num_frames=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def emo():
+    cfg = tiny_config()
+    model = EMOModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+    return model, params
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self):
+        cfg = tiny_config().vae
+        vae = AutoencoderKL(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        params = vae.init(jax.random.PRNGKey(1), x)
+        dist = vae.apply(params, x, method=AutoencoderKL.encode)
+        assert dist.mean.shape == (1, 16, 16, 4)
+        rec = vae.apply(params, dist.mode(), method=AutoencoderKL.decode)
+        assert rec.shape == x.shape
+
+    def test_diagonal_gaussian(self):
+        moments = jnp.concatenate([jnp.zeros((1, 4, 4, 2)), jnp.zeros((1, 4, 4, 2))], -1)
+        d = DiagonalGaussian(moments)
+        np.testing.assert_allclose(np.asarray(d.kl()), 0.0, atol=1e-6)
+        s = d.sample(jax.random.PRNGKey(0))
+        assert s.shape == (1, 4, 4, 2)
+
+
+class TestUNet:
+    def test_ref_site_alignment(self):
+        """Writer emits exactly the sites the reader consumes."""
+        cfg = tiny_config().model
+        ref_net = UNet(reference_net_config(cfg))
+        ref_lat = jnp.zeros((1, 8, 8, 4))
+        ts = jnp.zeros((1,), jnp.int32)
+        rp = ref_net.init(jax.random.PRNGKey(0), ref_lat, ts, emit_ref=True)
+        out = ref_net.apply(rp, ref_lat, ts, emit_ref=True)
+        # sites: down attn (levels 0,1 x 1 layer) + mid + up (levels 0,1 x 2 layers)
+        assert len(out.ref_features) == 2 + 1 + 4
+        den = UNet(cfg)
+        vid = jnp.zeros((1, 2, 8, 8, 4))
+        dp = den.init(jax.random.PRNGKey(1), vid, ts, ref_features=out.ref_features)
+        y = den.apply(dp, vid, ts, ref_features=out.ref_features)
+        assert y.sample.shape == vid.shape
+
+    def test_ref_features_change_output(self):
+        cfg = tiny_config().model
+        ref_net = UNet(reference_net_config(cfg))
+        ts = jnp.zeros((1,), jnp.int32)
+        r1 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        r2 = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 4)) * 2
+        rp = ref_net.init(jax.random.PRNGKey(1), r1, ts, emit_ref=True)
+        f1 = ref_net.apply(rp, r1, ts, emit_ref=True).ref_features
+        f2 = ref_net.apply(rp, r2, ts, emit_ref=True).ref_features
+        den = UNet(cfg)
+        vid = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8, 8, 4))
+        dp = den.init(jax.random.PRNGKey(3), vid, ts, ref_features=f1)
+        y1 = den.apply(dp, vid, ts, ref_features=f1).sample
+        y2 = den.apply(dp, vid, ts, ref_features=f2).sample
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+    def test_single_frame_4d_input(self):
+        cfg = tiny_config().model
+        net = UNet(reference_net_config(cfg))
+        x = jnp.zeros((2, 8, 8, 4))
+        ts = jnp.zeros((2,), jnp.int32)
+        p = net.init(jax.random.PRNGKey(0), x, ts)
+        y = net.apply(p, x, ts)
+        assert y.sample.shape == x.shape
+
+
+class TestAudio:
+    def test_encoder_shapes(self):
+        cfg = tiny_config().audio
+        enc = AudioEncoder(cfg)
+        wav = jnp.zeros((1, 16000))
+        p = enc.init(jax.random.PRNGKey(0), wav)
+        feats = enc.apply(p, wav)
+        assert feats.ndim == 3 and feats.shape[0] == 1 and feats.shape[2] == cfg.hidden_dim
+        # ~49-50 feature frames for 1s at 16kHz with stride 320
+        assert 45 <= feats.shape[1] <= 50
+
+    def test_align_zero_padding(self):
+        """Edge frames get zero-padded context (reference Net.py:656)."""
+        feats = jnp.ones((1, 10, 4))
+        win = align_audio_to_frames(feats, num_frames=3, feature_rate=2.0, video_fps=1.0, context=2)
+        assert win.shape == (1, 3, 5, 4)
+        w = np.asarray(win)
+        # frame 0, offsets -2,-1 -> indices -4,-2 -> zero
+        np.testing.assert_allclose(w[0, 0, 0], 0.0)
+        np.testing.assert_allclose(w[0, 0, 1], 0.0)
+        np.testing.assert_allclose(w[0, 0, 2], 1.0)
+
+    def test_align_numpy_parity(self):
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(2, 37, 8)).astype(np.float32)
+        T, fps, rate, ctx = 5, 12.5, 49.0, 2
+        win = np.asarray(align_audio_to_frames(jnp.asarray(feats), T, rate, fps, ctx))
+        for f in range(T):
+            for j, off in enumerate(range(-ctx, ctx + 1)):
+                idx = int(np.round((f + off) / fps * rate))
+                expect = feats[:, idx] if 0 <= idx < 37 else np.zeros((2, 8), np.float32)
+                np.testing.assert_allclose(win[:, f, j], expect, atol=1e-6)
+
+
+class TestEMOComposition:
+    def test_full_forward(self, emo):
+        model, params = emo
+        img = jnp.zeros((1, 32, 32, 3))
+        z = model.encode_images(params, img)
+        assert z.shape == (1, 16, 16, 4)
+        vid = jnp.zeros((1, 2, 16, 16, 4))
+        aw = model.encode_audio(params, jnp.zeros((1, 16000)), 2)
+        pred = model.predict_noise(
+            params, vid, jnp.zeros((1,), jnp.int32), z, aw,
+            speeds=jnp.zeros((1, 2)), face_mask=jnp.zeros((1, 32, 32, 1)),
+        )
+        assert pred.shape == vid.shape
+        assert model.decode_latents(params, vid).shape == (1, 2, 32, 32, 3)
+
+    def test_conditioning_is_identity_at_init(self, emo):
+        """Zero-init audio/speed/face layers: removing them changes nothing
+        at init (progressive-stage insertion safety)."""
+        model, params = emo
+        vid = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 16, 4))
+        ref = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+        ts = jnp.array([100])
+        aw = model.encode_audio(params, jax.random.normal(jax.random.PRNGKey(2), (1, 16000)), 2)
+        with_cond = model.predict_noise(
+            params, vid, ts, ref, aw, speeds=jnp.full((1, 2), 0.5),
+            face_mask=jnp.ones((1, 32, 32, 1)),
+        )
+        without = model.predict_noise(params, vid, ts, ref)
+        np.testing.assert_allclose(np.asarray(with_cond), np.asarray(without), atol=1e-5)

@@ -1,0 +1,110 @@
+"""Unit tests for nn building blocks (tiny shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emox.nn.attention_blocks import AudioCrossAttention, SpatialTransformer, TemporalTransformer
+from emox.nn.blocks import ResBlock
+from emox.nn.conditioners import FaceLocator, FaceMaskEncoder, SpeedEncoder
+from emox.nn.embeddings import sinusoidal_positions, timestep_embedding
+
+
+def test_timestep_embedding_shape_and_range():
+    emb = timestep_embedding(jnp.array([0, 10, 999]), 32)
+    assert emb.shape == (3, 32)
+    assert np.all(np.abs(np.asarray(emb)) <= 1.0 + 1e-6)
+    # distinct timesteps -> distinct embeddings
+    assert not np.allclose(np.asarray(emb[0]), np.asarray(emb[2]))
+
+
+def test_sinusoidal_positions():
+    pe = sinusoidal_positions(24, 64)
+    assert pe.shape == (24, 64)
+    np.testing.assert_allclose(np.asarray(pe[0, 0::2]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pe[0, 1::2]), 1.0, atol=1e-6)
+
+
+def test_resblock_channels_and_temb():
+    m = ResBlock(out_channels=16, groups=4)
+    x = jnp.ones((1, 2, 8, 8, 8))
+    temb = jnp.ones((1, 12))
+    params = m.init(jax.random.PRNGKey(0), x, temb)
+    y = m.apply(params, x, temb)
+    assert y.shape == (1, 2, 8, 8, 16)
+    # per-frame temb [(B T), D] also accepted
+    y2 = m.apply(params, x, jnp.ones((2, 12)))
+    assert y2.shape == (1, 2, 8, 8, 16)
+
+
+def test_temporal_transformer_identity_at_init():
+    """Zero-init proj_out => freshly added temporal module is a no-op
+    (AnimateDiff insertion semantics, reference motion_module.py:79-80)."""
+    m = TemporalTransformer(heads=2, head_dim=8, max_len=24)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4, 16))
+    params = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_audio_cross_attention_identity_at_init():
+    m = AudioCrossAttention(heads=2, head_dim=8, groups=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 16))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 5, 24))
+    params = m.init(jax.random.PRNGKey(2), x, audio)
+    y = m.apply(params, x, audio)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_audio_cross_attention_responds_to_audio_after_perturbation():
+    m = AudioCrossAttention(heads=2, head_dim=8, groups=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 16))
+    a1 = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 5, 24))
+    a2 = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 5, 24))
+    params = m.init(jax.random.PRNGKey(2), x, a1)
+    # un-zero the output projection so audio flows
+    params = jax.tree.map(lambda p: p + 0.05, params)
+    y1 = m.apply(params, x, a1)
+    y2 = m.apply(params, x, a2)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_spatial_transformer_ref_kv_changes_output():
+    m = SpatialTransformer(heads=2, head_dim=8, groups=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 16))
+    ref = [jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))]
+    params = m.init(jax.random.PRNGKey(2), x, None, ref)
+    y_ref, banks = m.apply(params, x, None, ref)
+    y_none, _ = m.apply(params, x, None, None)
+    assert y_ref.shape == x.shape
+    assert len(banks) == 1 and banks[0].shape == (2, 16, 16)
+    assert not np.allclose(np.asarray(y_ref), np.asarray(y_none))
+
+
+def test_speed_encoder_buckets():
+    m = SpeedEncoder(dim=16, num_buckets=9, bucket_radius=0.1)
+    enc = m.encode_speed(jnp.array([[-1.0], [0.0], [1.0]]))
+    assert enc.shape == (3, 1, 9)
+    # speed at bucket center -> tanh(0) = 0 at that bucket
+    assert abs(float(enc[1, 0, 4])) < 1e-6
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 1)))
+    out = m.apply(params, jnp.array([[0.3], [-0.7]]))
+    assert out.shape == (2, 16)
+    # zero-init fc2 -> zero embedding at init (safe to add to temb)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_face_locator_and_mask_encoder():
+    loc = FaceLocator(features=(4, 8, 8))
+    img = jnp.zeros((1, 32, 32, 3))
+    p = loc.init(jax.random.PRNGKey(0), img)
+    logits = loc.apply(p, img)
+    assert logits.shape == (1, 32, 32, 1)
+
+    enc = FaceMaskEncoder(out_channels=8, num_downs=2, features=(4, 8))
+    mask = jnp.ones((1, 32, 32, 1))
+    p2 = enc.init(jax.random.PRNGKey(1), mask)
+    feat = enc.apply(p2, mask)
+    assert feat.shape == (1, 8, 8, 8)
+    # zero-init final conv -> zero residual at init
+    np.testing.assert_allclose(np.asarray(feat), 0.0, atol=1e-6)
