@@ -1,0 +1,306 @@
+"""Command-line entry points.
+
+Replaces the reference's per-stage scripts and distributed driver
+(reference train_stage_{1,2,3}*.py __main__ blocks,
+magicanimate/pipelines/animation.py:274-282 argparse,
+EMOAnimationPipeline.py:950-955) with one `python -m emox` CLI:
+
+  python -m emox precompute --metadata data/overfit.json --videos data/videos --cache data/cache
+  python -m emox train --stage 1 --config configs/stage1.yaml
+  python -m emox train --stage 2 --from-stage 1
+  python -m emox infer --config configs/inference.yaml --ref-image face.png --audio speech.wav --out out.mp4
+  python -m emox import-weights --vae vae.safetensors --unet unet.safetensors --out sd_params
+  python -m emox bench --preset tiny
+
+No torch.multiprocessing.spawn / NCCL rendezvous equivalent is needed:
+multi-device execution is a jax.sharding.Mesh inside one process per host
+(`jax.distributed.initialize` for multi-host, emox.comm.runtime).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any, Dict, List, Optional
+
+
+def _parse_overrides(pairs: List[str]) -> Dict[str, Dict[str, Any]]:
+    """--set section.key=value (YAML-typed) -> nested override dict."""
+    import yaml
+
+    out: Dict[str, Dict[str, Any]] = {}
+    for p in pairs:
+        if "=" not in p or "." not in p.split("=", 1)[0]:
+            raise SystemExit(f"--set expects section.key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        sec, key = k.split(".", 1)
+        val = yaml.safe_load(v)
+        if isinstance(val, str):
+            try:  # YAML 1.1 doesn't parse '1e-3' as a float; users expect it
+                val = float(val)
+            except ValueError:
+                pass
+        out.setdefault(sec, {})[key] = val
+    return out
+
+
+def _load_config(args) -> "Config":
+    from emox.core.config import load_config, stage_presets
+
+    overrides = _parse_overrides(args.set or [])
+    if getattr(args, "stage", None) is not None and args.config is None:
+        # stage presets as the base when no YAML given
+        base = stage_presets(args.stage) if args.stage in (1, 2, 3) else {}
+        for sec, vals in overrides.items():
+            base.setdefault(sec, {}).update(vals)
+        overrides = base
+    cfg = load_config(args.config, overrides)
+    if getattr(args, "stage", None) is not None:
+        from emox.core.config import TrainConfig
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, stage=args.stage))
+    return cfg
+
+
+def cmd_precompute(args) -> int:
+    from emox.data.precompute import precompute_dataset
+
+    man = precompute_dataset(
+        args.metadata, args.videos, args.cache, width=args.width, height=args.height, fps=args.fps
+    )
+    with open(man) as f:
+        n = len(json.load(f))
+    print(f"precomputed {n} clips -> {args.cache}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from emox.core.config import save_config
+    from emox.data.dataset import DataLoader, EMODataset
+    from emox.train.stages import STAGE_DESCRIPTIONS
+    from emox.train.trainer import Trainer
+
+    cfg = _load_config(args)
+    stage = cfg.train.stage
+    stage_name = {0: "stage0-facelocator", 1: "stage1", 2: "stage2", 3: "stage3"}[stage]
+    print(f"stage {stage}: {STAGE_DESCRIPTIONS[stage]}")
+
+    init_params = None
+    trainer = Trainer(cfg, init_params=init_params)
+    if args.from_stage is not None:
+        if not trainer.load_params_from_stage(args.from_stage):
+            raise SystemExit(f"no stage-{args.from_stage} checkpoint under {cfg.train.checkpoint_dir}")
+        print(f"initialised from stage-{args.from_stage} checkpoint")
+    resumed = trainer.resume()
+    if resumed:
+        print(f"resumed at step {resumed}")
+    os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+    save_config(cfg, os.path.join(cfg.train.checkpoint_dir, f"stage{stage}_config.yaml"))
+
+    ds = EMODataset(
+        cfg.data.cache_dir, stage_name, num_frames=cfg.data.num_frames,
+        audio_context_frames=cfg.audio.context_frames, sample_rate=cfg.audio.sample_rate,
+        fps=cfg.audio.video_fps,
+    )
+    dl = DataLoader(ds, batch_size=cfg.data.batch_size, seed=cfg.data.seed)
+    metrics = trainer.fit(dl)
+    print(json.dumps({"final_step": int(trainer.state.step), **metrics}))
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from emox.infer.pipeline import EMOPipeline
+    from emox.infer.video_io import save_video
+    from emox.models.emo import EMOModel
+    from emox.train.trainer import Checkpointer
+
+    cfg = _load_config(args)
+    model = EMOModel(cfg)
+    if args.params:
+        ckpt = Checkpointer(args.params)
+        params = ckpt.restore_params()
+        if params is None:
+            raise SystemExit(f"no checkpoint under {args.params}")
+    else:
+        import jax
+
+        print("WARNING: no --params given; using random init (smoke test)")
+        params = model.init_params(
+            jax.random.PRNGKey(0), num_frames=2, image_size=cfg.inference.height
+        )
+
+    ref = _load_image(args.ref_image, cfg.inference.width, cfg.inference.height)
+    wav, sr = _load_audio(args.audio, cfg.audio.sample_rate)
+    fps = cfg.inference.fps
+    total = args.frames or int(len(wav) / sr * fps) or cfg.inference.video_length
+
+    pipe = EMOPipeline(model, cfg)
+    if total > cfg.inference.context_frames and args.autoregressive:
+        frames = pipe.generate_long(
+            params, jnp.asarray(ref[None]), jnp.asarray(wav[None]), total_frames=total,
+            segment_length=cfg.inference.context_frames,
+        )
+    else:
+        frames = pipe(
+            params, jnp.asarray(ref[None]), jnp.asarray(wav[None]), video_length=total,
+            num_inference_steps=args.steps, guidance_scale=args.guidance,
+        )
+    out = save_video(np.asarray(frames[0]), args.out, fps=fps, wav=wav, sample_rate=sr)
+    print(f"wrote {out} ({total} frames @ {fps} fps)")
+    return 0
+
+
+def cmd_import_weights(args) -> int:
+    import numpy as np
+
+    from emox.interop.torch_import import (
+        import_unet2d, import_vae, import_wav2vec2, load_torch_state_dict,
+    )
+
+    cfg = _load_config(args)
+    os.makedirs(args.out, exist_ok=True)
+    for name, path, fn, sub_cfg in (
+        ("vae", args.vae, import_vae, cfg.vae),
+        ("unet", args.unet, import_unet2d, cfg.model),
+        ("wav2vec2", args.wav2vec2, import_wav2vec2, cfg.audio),
+    ):
+        if not path:
+            continue
+        sd = load_torch_state_dict(path)
+        tree = fn(sd, sub_cfg)
+        report = tree.pop("__report__")
+        flat = _flatten(tree)
+        np.savez(os.path.join(args.out, f"{name}.npz"), **flat)
+        print(f"{name}: {report.summary()}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    os.environ["EMOX_BENCH_PRESET"] = args.preset
+    if args.iters:
+        os.environ["EMOX_BENCH_ITERS"] = str(args.iters)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def _flatten(tree: Dict, prefix: str = "") -> Dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def _load_image(path: str, width: int, height: int):
+    import numpy as np
+
+    from emox.data.native import resize_bilinear, u8_to_unit
+
+    if path.endswith(".npy"):
+        img = np.load(path)
+    else:
+        try:
+            import imageio.v3 as iio
+
+            img = iio.imread(path)
+        except Exception:
+            import cv2
+
+            img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+    if img.dtype == np.uint8:
+        img = u8_to_unit(img)
+    if img.shape[:2] != (height, width):
+        img = resize_bilinear(np.ascontiguousarray(img, np.float32), height, width)
+    return img[..., :3].astype(np.float32)
+
+
+def _load_audio(path: str, sample_rate: int):
+    import numpy as np
+
+    from emox.data.native import resample_linear
+
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32), sample_rate
+    import wave
+
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        raw = f.readframes(n)
+        pcm = np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0
+        if f.getnchannels() > 1:
+            pcm = pcm.reshape(-1, f.getnchannels()).mean(axis=1)
+    if sr != sample_rate:
+        pcm = resample_linear(pcm, float(sr), float(sample_rate))
+    return pcm, sample_rate
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="emox", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("precompute", help="video/audio -> cached training arrays")
+    pp.add_argument("--metadata", required=True)
+    pp.add_argument("--videos", required=True)
+    pp.add_argument("--cache", required=True)
+    pp.add_argument("--width", type=int, default=256)
+    pp.add_argument("--height", type=int, default=256)
+    pp.add_argument("--fps", type=float, default=25.0)
+    pp.set_defaults(fn=cmd_precompute)
+
+    pt = sub.add_parser("train", help="run a training stage")
+    pt.add_argument("--stage", type=int, choices=(0, 1, 2, 3))
+    pt.add_argument("--config", default=None, help="YAML config path")
+    pt.add_argument("--from-stage", type=int, default=None, help="init from this stage's checkpoint")
+    pt.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL", help="config overrides")
+    pt.set_defaults(fn=cmd_train)
+
+    pi = sub.add_parser("infer", help="reference image + audio -> talking-head video")
+    pi.add_argument("--config", default=None)
+    pi.add_argument("--params", default=None, help="checkpoint directory")
+    pi.add_argument("--ref-image", required=True)
+    pi.add_argument("--audio", required=True)
+    pi.add_argument("--out", default="out.mp4")
+    pi.add_argument("--frames", type=int, default=None)
+    pi.add_argument("--steps", type=int, default=None)
+    pi.add_argument("--guidance", type=float, default=None)
+    pi.add_argument("--autoregressive", action="store_true")
+    pi.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
+    pi.set_defaults(fn=cmd_infer)
+
+    pw = sub.add_parser("import-weights", help="PyTorch SD/wav2vec2 checkpoints -> emox params")
+    pw.add_argument("--config", default=None)
+    pw.add_argument("--vae", default=None)
+    pw.add_argument("--unet", default=None)
+    pw.add_argument("--wav2vec2", default=None)
+    pw.add_argument("--out", required=True)
+    pw.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
+    pw.set_defaults(fn=cmd_import_weights)
+
+    pb = sub.add_parser("bench", help="denoise-step throughput benchmark")
+    pb.add_argument("--preset", default="tiny", choices=("tiny", "small", "flagship"))
+    pb.add_argument("--iters", type=int, default=None)
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

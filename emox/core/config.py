@@ -125,6 +125,12 @@ class ModelConfig:
     # (reference Net.py:819-855 FaceLocator, Net.py:591-605 FaceRegionController)
     use_face_mask: bool = True
     face_mask_channels: int = 1
+    # sparse-causal spatial self-attention: K/V from (first, previous) frames
+    # instead of the current frame (reference magicanimate/models/attention.py
+    # SparseCausalAttention2D). Off for the EMO flagship (reference attention
+    # fills that role); on for MagicAnimate-style animation without a
+    # reference UNet.
+    use_sparse_causal: bool = False
     flash_attention: bool = True
     remat: bool = True
 

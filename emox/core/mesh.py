@@ -50,7 +50,9 @@ def create_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence[jax
         if n % fixed != 0:
             raise ValueError(f"{n} devices not divisible by fixed axes product {fixed}")
         sizes[sizes.index(-1)] = n // fixed
-    elif fixed != n:
+    elif fixed < n:
+        devices = devices[:fixed]  # explicit sub-mesh (e.g. tests, debug)
+    elif fixed > n:
         raise ValueError(f"mesh {sizes} needs {fixed} devices, have {n}")
     arr = np.array(devices).reshape(sizes)
     return Mesh(arr, cfg.axis_names)

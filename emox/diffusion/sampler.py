@@ -97,3 +97,33 @@ def windowed_ddim_sample(
 def cfg_combine(uncond: jax.Array, cond: jax.Array, scale: float) -> jax.Array:
     """Classifier-free guidance (reference EMOAnimationPipeline.py:812-814)."""
     return uncond + scale * (cond - uncond)
+
+
+def ddim_invert(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    latents: jax.Array,
+    sched: Schedule,
+    num_steps: int,
+) -> jax.Array:
+    """Deterministic DDIM inversion: clean latents -> noise latents along the
+    model's own trajectory (reference EMOAnimationPipeline.py:416-477
+    `invert`, util.py:44-99 DDIM inversion helpers). Ascending timesteps;
+    each update re-projects the (x0, eps) estimate at t onto noise level
+    t_next — the exact algebraic reverse of `ddim_step`, so a perfect model
+    round-trips invert -> sample to the original latents.
+    """
+    ts_all = inference_timesteps(sched.num_train_timesteps, num_steps)[::-1]  # ascending
+    # transitions mirror the sampler's (t_{i+1} -> t_i) pairs; the initial
+    # x0 -> t_0 projection is absorbed into the first step (alpha_bar[t_0]~1)
+    ts, ts_next = ts_all[:-1], ts_all[1:]
+    b = latents.shape[0]
+
+    def body(lat, step):
+        t, t_next = step
+        tb = jnp.full((b,), t, jnp.int32)
+        out = denoise_fn(lat, tb)
+        lat = ddim_step(sched, out, lat, tb, jnp.full((b,), t_next, jnp.int32))
+        return lat, None
+
+    final, _ = jax.lax.scan(body, latents, (ts, ts_next))
+    return final

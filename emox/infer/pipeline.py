@@ -29,17 +29,36 @@ import numpy as np
 from emox.core.config import Config
 from emox.diffusion.context import window_plan
 from emox.diffusion.interp import interpolate_latents
-from emox.diffusion.sampler import cfg_combine
+from emox.diffusion.sampler import cfg_combine, ddim_invert
 from emox.diffusion.schedule import add_noise, ddim_step, inference_timesteps, make_schedule
 from emox.models.emo import EMOModel, Params
 
 
 class EMOPipeline:
-    def __init__(self, model: EMOModel, config: Optional[Config] = None):
+    def __init__(self, model: EMOModel, config: Optional[Config] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh; when its `context` axis is >1,
+        the overlapping denoise windows shard across it (the compiled
+        equivalent of the reference's `global_context[rank::world_size]`
+        multi-GPU split, reference EMOAnimationPipeline.py:757-821 — but as
+        one program with no host gather/broadcast per step)."""
         self.model = model
         self.config = config or model.config
+        self.mesh = mesh
         self.sched = make_schedule(self.config.diffusion)
         self._jitted: Dict = {}
+
+    def _shard_windows(self, windows: jax.Array) -> jax.Array:
+        """Constrain the leading window axis over the mesh `context` axis."""
+        if self.mesh is None:
+            return windows
+        from emox.core.mesh import MeshAxes
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.mesh.shape.get(MeshAxes.CONTEXT, 1) <= 1:
+            return windows
+        spec = [None] * windows.ndim
+        spec[0] = MeshAxes.CONTEXT
+        return jax.lax.with_sharding_constraint(windows, NamedSharding(self.mesh, P(*spec)))
 
     # ---- conditioning ----------------------------------------------------
     def _prepare(self, params: Params, ref_image: jax.Array, wav: jax.Array, num_frames: int):
@@ -115,7 +134,9 @@ class EMOPipeline:
             t, t_prev, idx, w8 = step
             tb = jnp.full((b,), t, jnp.int32)
             windows = lat[:, idx].transpose(1, 0, 2, 3, 4, 5)  # [W, B, c, h, w, C]
+            windows = self._shard_windows(windows)
             preds = jax.vmap(lambda wl, wi: denoise_window(wl, tb, wi))(windows, idx)
+            preds = self._shard_windows(preds)
             preds = preds * w8[:, None, None, None, None, None]
             wc = idx.shape[0] * idx.shape[1]
             flat_idx = idx.reshape(wc)
@@ -186,6 +207,36 @@ class EMOPipeline:
             self._jitted[cache_key] = jax.jit(run)
         key = key if key is not None else jax.random.PRNGKey(self.config.inference.seed)
         return self._jitted[cache_key](params, ref_image, wav, speeds, face_mask, key)
+
+    def invert(
+        self,
+        params: Params,
+        video: jax.Array,  # [B, T, H, W, 3] in [-1, 1]
+        ref_image: jax.Array,
+        wav: jax.Array,
+        num_inference_steps: Optional[int] = None,
+    ) -> jax.Array:
+        """DDIM inversion of real video frames into the model's noise space
+        (reference EMOAnimationPipeline.py:416-477) — enables editing /
+        motion transfer by re-sampling from inverted latents."""
+        steps = num_inference_steps or self.config.inference.num_inference_steps
+        T = video.shape[1]
+
+        def run(params, video, ref_image, wav):
+            latents = self.model.encode_images(params, video)
+            ref_latent, audio = self._prepare(params, ref_image, wav, T)
+
+            def denoise(lat, tb):
+                return self.model.predict_noise(
+                    params, lat, tb, ref_latent, audio_windows=audio, speeds=None, face_mask=None
+                )
+
+            return ddim_invert(denoise, latents, self.sched, steps)
+
+        cache_key = ("invert", T, steps)
+        if cache_key not in self._jitted:
+            self._jitted[cache_key] = jax.jit(run)
+        return self._jitted[cache_key](params, video, ref_image, wav)
 
     def generate_long(
         self,

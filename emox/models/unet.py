@@ -26,7 +26,7 @@ frames folded into batch for all spatial ops.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import Any, List, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -68,6 +68,7 @@ class UNet(nn.Module):
         audio: Optional[jax.Array] = None,  # [B, T, A, audio_dim]
         speeds: Optional[jax.Array] = None,  # [B] or [B, T]
         face_mask: Optional[jax.Array] = None,  # [B, H, W, 1] pixel space
+        control: Optional[Any] = None,  # ControlSignals (models/controlnet.py)
         emit_ref: bool = False,
     ) -> UNetOutputs:
         cfg = self.cfg
@@ -113,8 +114,9 @@ class UNet(nn.Module):
                 rkv = [jnp.repeat(r, t, axis=0) for r in ref_features[site]]
             h, bank = SpatialTransformer(
                 heads, head_dim, depth=self.spatial_depth,
-                groups=cfg.norm_groups, name=f"{name}_attn", **kw,
-            )(h, context=ctx_frames, ref_kv=rkv)
+                groups=cfg.norm_groups, sparse_causal=cfg.use_sparse_causal,
+                name=f"{name}_attn", **kw,
+            )(h, context=ctx_frames, ref_kv=rkv, num_frames=1 if emit_ref else t)
             if emit_ref:
                 banks.append(bank)
             site += 1
@@ -142,10 +144,18 @@ class UNet(nn.Module):
                 h, _ = fold_time(Downsample(ch, name=f"down_{level}_ds", **kw)(unfold_time(h, t)))
                 skips.append(h)
 
+        # ---- controlnet residual injection (reference unet_controlnet.py
+        # forward: down_block_additional_residuals added to the skips,
+        # mid_block_additional_residual after the mid block) ----------------
+        if control is not None:
+            skips = [s + r for s, r in zip(skips, control.down)]
+
         # ---- mid ---------------------------------------------------------
         h, _ = fold_time(ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name="mid_res_0", **kw)(unfold_time(h, t), temb))
         h = attn_stack(h, chans[-1], "mid")
         h, _ = fold_time(ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name="mid_res_1", **kw)(unfold_time(h, t), temb))
+        if control is not None:
+            h = h + control.mid
 
         # ---- up path -----------------------------------------------------
         for level, ch in reversed(list(enumerate(chans))):

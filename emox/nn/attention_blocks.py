@@ -116,13 +116,18 @@ class TransformerBlock(nn.Module):
         x: jax.Array,
         context: Optional[jax.Array] = None,
         ref_kv: Optional[jax.Array] = None,
+        sc_gather=None,
     ):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         attn = lambda name, **kw: Attention(
             self.heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name, **kw
         )
         normed1 = ln("norm1")(x)
-        x = x + attn("attn1")(normed1, extra_kv=ref_kv)
+        # sparse-causal mode: self-attention keys/values come from other
+        # frames' normed tokens (first + previous), not this frame's
+        # (reference magicanimate/models/attention.py SparseCausalAttention2D)
+        sc_kv = sc_gather(normed1) if sc_gather is not None else None
+        x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv)
         if self.use_cross and context is not None:
             x = x + attn("attn2")(ln("norm2")(x), context=context)
         x = x + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))
@@ -141,6 +146,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     groups: int = 32
     use_cross: bool = True
+    sparse_causal: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -150,18 +156,31 @@ class SpatialTransformer(nn.Module):
         x: jax.Array,  # [(B T), H, W, C]
         context: Optional[jax.Array] = None,  # [(B T), Lc, Cc]
         ref_kv: Optional[list] = None,  # per-depth-block [(B T), Lr, C]
+        num_frames: int = 1,
     ):
         n, h, w, c = x.shape
         residual = x
         hdn = FusedGroupNorm(self.groups, param_dtype=self.param_dtype, name="norm")(x)
         hdn = hdn.reshape(n, h * w, c)
         hdn = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(hdn)
+
+        sc_gather = None
+        if self.sparse_causal and num_frames > 1:
+            t = num_frames
+
+            def sc_gather(tokens):  # [(B T), L, C] -> [(B T), 2L, C]
+                bt, l, cc = tokens.shape
+                v = tokens.reshape(bt // t, t, l, cc)
+                first = jnp.broadcast_to(v[:, :1], v.shape)
+                prev = jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)
+                return jnp.concatenate([first, prev], axis=2).reshape(bt, 2 * l, cc)
+
         banks = []
         for i in range(self.depth):
             hdn, normed1 = TransformerBlock(
                 self.heads, self.head_dim, use_cross=self.use_cross,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block_{i}",
-            )(hdn, context=context, ref_kv=None if ref_kv is None else ref_kv[i])
+            )(hdn, context=context, ref_kv=None if ref_kv is None else ref_kv[i], sc_gather=sc_gather)
             banks.append(normed1)
         hdn = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(hdn)
         return residual + hdn.reshape(n, h, w, c), banks

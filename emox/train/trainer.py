@@ -56,7 +56,11 @@ def make_optimizer(config: Config, mask: Any) -> optax.GradientTransformation:
         optax.clip_by_global_norm(tc.grad_clip_norm),
         optax.adamw(lr, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps, weight_decay=tc.weight_decay),
     )
-    opt = optax.masked(opt, mask)
+    # NB: optax.masked alone is NOT freezing — it passes the complement's
+    # gradients through untransformed. multi_transform routes frozen leaves
+    # to set_to_zero so their updates are exactly 0.
+    labels = jax.tree.map(lambda b: "train" if b else "freeze", mask)
+    opt = optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
     if tc.gradient_accumulation > 1:
         opt = optax.MultiSteps(opt, tc.gradient_accumulation)
     return opt

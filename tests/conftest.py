@@ -18,7 +18,18 @@ os.environ.setdefault("EMOX_GROUPNORM_IMPL", "xla")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the TPU
+# tunnel plugin at interpreter start, BEFORE this conftest runs — env vars
+# alone don't stick. Re-force the platform post-import (backends init
+# lazily, so this is still early enough).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: full-suite reruns skip recompiling unchanged
+# train-step/sampler programs (CPU compiles of the full EMO step take
+# minutes each)
+jax.config.update("jax_compilation_cache_dir", os.environ.get("EMOX_JAX_CACHE", "/tmp/emox_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

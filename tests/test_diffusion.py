@@ -8,7 +8,7 @@ import pytest
 from emox.core.config import DiffusionConfig
 from emox.diffusion.context import ordered_halving, uniform_windows, window_plan
 from emox.diffusion.interp import interpolate_latents, slerp_latents
-from emox.diffusion.sampler import cfg_combine, ddim_sample, windowed_ddim_sample
+from emox.diffusion.sampler import cfg_combine, ddim_invert, ddim_sample, windowed_ddim_sample
 from emox.diffusion.schedule import (
     add_noise,
     ddim_step,
@@ -179,6 +179,30 @@ class TestSamplers:
         out = windowed_ddim_sample(denoise_window, lat, sched, plan)
         ref = ddim_sample(lambda l, t: jnp.ones_like(l) * 0.05, lat, sched, 4)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_ddim_invert_roundtrip(self, sched):
+        """invert -> sample is (approximately) the identity for a model with
+        input-independent output (DDIM steps are then exact mutual inverses;
+        only the skipped x0 -> t_0 projection contributes error)."""
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 2)) * 0.3
+        eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        model = lambda lat, t: jnp.broadcast_to(eps, lat.shape)
+        inverted = ddim_invert(model, x0, sched, 20)
+        assert not np.allclose(np.asarray(inverted), np.asarray(x0))
+        back = ddim_sample(model, inverted, sched, 20)
+        # error budget: skipped x0 -> t_0 projection (~sqrt(beta_0)*|eps|)
+        # plus fp32 accumulation through the 1/sqrt(alpha_bar) amplification
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x0), atol=0.1)
+
+    def test_ddim_invert_reaches_high_noise(self, sched):
+        """Inverted latents should sit at the sampler's start noise level:
+        variance grows toward ~(x0-scaled + eps-scaled) magnitude."""
+        x0 = jnp.zeros((1, 4, 4, 2))
+        eps = jnp.ones_like(x0)
+        inverted = ddim_invert(lambda lat, t: jnp.broadcast_to(eps, lat.shape), x0, sched, 20)
+        t_start = int(inference_timesteps(sched.num_train_timesteps, 20)[0])
+        expect = float(jnp.sqrt(1 - sched.alphas_cumprod[t_start]))
+        np.testing.assert_allclose(np.asarray(inverted), expect, atol=0.02)
 
     def test_cfg_combine(self):
         u, c = jnp.zeros((2, 2)), jnp.ones((2, 2))

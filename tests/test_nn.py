@@ -108,3 +108,40 @@ def test_face_locator_and_mask_encoder():
     assert feat.shape == (1, 8, 8, 8)
     # zero-init final conv -> zero residual at init
     np.testing.assert_allclose(np.asarray(feat), 0.0, atol=1e-6)
+
+
+class TestSparseCausal:
+    def test_sparse_causal_kv_layout(self):
+        """Frame t attends to (frame 0, frame t-1) tokens; frame 0 to itself
+        twice (reference magicanimate/models/attention.py
+        SparseCausalAttention2D semantics)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from emox.nn.attention_blocks import SpatialTransformer
+
+        b, t, hw, c = 1, 3, 4, 8
+        st = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (b * t, 2, 2, c))
+        params = st.init(jax.random.PRNGKey(1), x, num_frames=t)
+        out, _ = st.apply(params, x, num_frames=t)
+        assert out.shape == x.shape
+        # causality: output at frame 1 must not depend on frame 2 input
+        x2 = x.at[2].add(1.0)  # perturb frame 2 (batch-folded index 2)
+        out2, _ = st.apply(params, x2, num_frames=t)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-6)
+        assert not np.allclose(np.asarray(out[2]), np.asarray(out2[2]))
+
+    def test_off_by_default_matches_plain(self):
+        import jax
+        import numpy as np
+        from emox.nn.attention_blocks import SpatialTransformer
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 2, 8))
+        st0 = SpatialTransformer(heads=2, head_dim=4, groups=4)
+        p = st0.init(jax.random.PRNGKey(1), x)
+        out_a, _ = st0.apply(p, x)
+        st1 = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True)
+        out_b, _ = st1.apply(p, x, num_frames=1)  # t=1 -> no gather
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))

@@ -28,7 +28,7 @@ def tiny_config(tmp, stage=1, steps=4) -> Config:
         ),
         audio=AudioConfig(hidden_dim=16, num_layers=1, num_heads=2, conv_dim=8),
         diffusion=DiffusionConfig(snr_gamma=5.0, noise_offset=0.05),
-        mesh=MeshConfig(data=-1, context=1, model=1),
+        mesh=MeshConfig(data=2, context=1, model=1),
         data=DataConfig(width=32, height=32, num_frames=2, batch_size=2),
         train=TrainConfig(
             stage=stage, num_steps=steps, learning_rate=1e-3, log_every=2,
