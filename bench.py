@@ -60,13 +60,18 @@ def main() -> None:
         jnp.zeros((1, num_frames), jnp.bfloat16),
         jnp.ones((1, image_size, image_size, 1), jnp.bfloat16),
     )
-    out = denoise_step(*args)
-    out.block_until_ready()  # compile
+    # Sync via a host scalar fetch, NOT block_until_ready: over the axon
+    # TPU tunnel block_until_ready returns before execution finishes
+    # (measured 2 ms "steps" vs 84 ms real), so only a device->host value
+    # dependency gives honest timing.
+    fsum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+    check = float(fsum(denoise_step(*args)))  # compile both
+    assert check == check, "NaN in benchmark output"
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = denoise_step(*args)
-    out.block_until_ready()
+    float(fsum(out))  # device executes dispatches serially; fetch syncs all
     dt = (time.perf_counter() - t0) / iters
     steps_per_sec = 1.0 / dt
 

@@ -85,7 +85,7 @@ def cmd_train(args) -> int:
 
     cfg = _load_config(args)
     stage = cfg.train.stage
-    stage_name = {0: "stage0-facelocator", 1: "stage1", 2: "stage2", 3: "stage3"}[stage]
+    stage_name = {0: "stage0-facelocator", 1: "stage1", 2: "stage2", 3: "stage3", 4: "stage4-control"}[stage]
     print(f"stage {stage}: {STAGE_DESCRIPTIONS[stage]}")
 
     init_params = None
@@ -262,7 +262,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp.set_defaults(fn=cmd_precompute)
 
     pt = sub.add_parser("train", help="run a training stage")
-    pt.add_argument("--stage", type=int, choices=(0, 1, 2, 3))
+    pt.add_argument("--stage", type=int, choices=(0, 1, 2, 3, 4))
     pt.add_argument("--config", default=None, help="YAML config path")
     pt.add_argument("--from-stage", type=int, default=None, help="init from this stage's checkpoint")
     pt.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL", help="config overrides")

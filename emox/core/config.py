@@ -131,6 +131,10 @@ class ModelConfig:
     # fills that role); on for MagicAnimate-style animation without a
     # reference UNet.
     use_sparse_causal: bool = False
+    # ControlNet-style dense conditioning branch (pose skeleton / landmark
+    # render per frame, reference magicanimate/models/controlnet.py)
+    use_controlnet: bool = False
+    control_cond_channels: int = 3
     flash_attention: bool = True
     remat: bool = True
 

@@ -18,7 +18,7 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-STAGES = ("stage0-facelocator", "stage1", "stage2", "stage3")
+STAGES = ("stage0-facelocator", "stage1", "stage2", "stage3", "stage4-control")
 
 
 class EMODataset:
@@ -87,8 +87,15 @@ class EMODataset:
         item = {
             "frames": frames[idx],
             "ref_image": frames[int(rng.integers(t_total))],
-            "wav": self._wav_slice(clip["wav"], start),
         }
+        if self.stage == "stage4-control":
+            # dense per-frame conditioning renders; the cache may ship real
+            # pose renders under "control", else face masks act as the
+            # conditioning signal (reference controlnet cond image role)
+            ctrl = clip["control"] if "control" in clip else masks
+            item["control"] = ctrl[idx]
+            return item
+        item["wav"] = self._wav_slice(clip["wav"], start)
         if self.stage == "stage3":
             item["speeds"] = clip["pose_speeds"][idx]
             item["masks"] = masks[idx[0]]  # conditioning mask from first frame

@@ -66,24 +66,26 @@ class EMOPipeline:
         audio = self.model.encode_audio(params, wav, num_frames)
         return ref_latent, audio
 
-    def _model_out(self, params, latents, t, ref_latent, audio, speeds, face_mask, guidance_scale):
+    def _model_out(self, params, latents, t, ref_latent, audio, speeds, face_mask, guidance_scale,
+                   control_cond=None):
         """CFG-combined noise prediction for the full latent clip."""
         cond = self.model.predict_noise(
-            params, latents, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask
+            params, latents, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask,
+            control_cond=control_cond,
         )
         if guidance_scale == 1.0:
             return cond
         uncond = self.model.predict_noise(
             params, latents, t, jnp.zeros_like(ref_latent),
             audio_windows=None if audio is None else jnp.zeros_like(audio),
-            speeds=None, face_mask=None,
+            speeds=None, face_mask=None, control_cond=control_cond,
         )
         return cfg_combine(uncond, cond, guidance_scale)
 
     # ---- samplers --------------------------------------------------------
     def _sample_short(
         self, params, key, ref_latent, audio, speeds, face_mask, num_frames, num_steps,
-        guidance_scale, lock_latents=None, num_locked=0,
+        guidance_scale, lock_latents=None, num_locked=0, control_cond=None,
     ):
         """Single-window DDIM scan. If lock_latents is given, the first
         num_locked frames are re-noised known latents each step
@@ -103,7 +105,10 @@ class EMOPipeline:
             if lock_latents is not None and num_locked > 0:
                 noised = add_noise(self.sched, lock_latents, jax.random.normal(k, lock_latents.shape), tb)
                 lat = jnp.concatenate([noised[:, :num_locked], lat[:, num_locked:]], axis=1)
-            out = self._model_out(params, lat, tb, ref_latent, audio, speeds, face_mask, guidance_scale)
+            out = self._model_out(
+                params, lat, tb, ref_latent, audio, speeds, face_mask, guidance_scale,
+                control_cond=control_cond,
+            )
             lat = ddim_step(self.sched, out, lat, tb, jnp.full((b,), t_prev, jnp.int32))
             return lat, None
 
@@ -164,6 +169,7 @@ class EMOPipeline:
         key: Optional[jax.Array] = None,
         lock_latents: Optional[jax.Array] = None,
         num_locked: int = 0,
+        control_cond: Optional[jax.Array] = None,  # [B, T, H, W, Cc] pose renders
     ) -> jax.Array:
         icfg = self.config.inference
         T = video_length or icfg.video_length
@@ -173,7 +179,8 @@ class EMOPipeline:
         ref_latent, audio = self._prepare(params, ref_image, wav, T)
         if T <= icfg.context_frames:
             return self._sample_short(
-                params, key, ref_latent, audio, speeds, face_mask, T, steps, g, lock_latents, num_locked
+                params, key, ref_latent, audio, speeds, face_mask, T, steps, g, lock_latents,
+                num_locked, control_cond,
             )
         return self._sample_windowed(params, key, ref_latent, audio, speeds, face_mask, T, steps, g)
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from emox.core.config import Config
 from emox.models.audio import AudioEncoder, align_audio_to_frames, audio_feature_rate
+from emox.models.controlnet import ControlNetEncoder
 from emox.models.unet import UNet, reference_net_config
 from emox.models.vae import AutoencoderKL
 from emox.nn.conditioners import FaceLocator
@@ -34,6 +35,7 @@ class EMOModules:
     denoiser: UNet
     audio_encoder: AudioEncoder
     face_locator: FaceLocator
+    controlnet: Optional[ControlNetEncoder] = None
 
 
 class EMOModel:
@@ -46,6 +48,7 @@ class EMOModel:
             denoiser=UNet(config.model, **kw),
             audio_encoder=AudioEncoder(config.audio, **kw),
             face_locator=FaceLocator(**kw),
+            controlnet=ControlNetEncoder(config.model, **kw) if config.model.use_controlnet else None,
         )
 
     # ---- init ------------------------------------------------------------
@@ -78,6 +81,10 @@ class EMOModel:
             face_mask=jnp.zeros((1, size, size, 1)),
         )["params"]
         params["face_locator"] = self.modules.face_locator.init(kf, img)["params"]
+        if self.modules.controlnet is not None:
+            kc = jax.random.fold_in(key, 99)
+            cond = jnp.zeros((1, size, size, cfg.model.control_cond_channels))
+            params["controlnet"] = self.modules.controlnet.init(kc, vid_lat, ts, cond)["params"]
         return params
 
     # ---- submodel applies --------------------------------------------------
@@ -121,8 +128,16 @@ class EMOModel:
         speeds: Optional[jax.Array] = None,  # [B, T]
         face_mask: Optional[jax.Array] = None,  # [B, H, W, 1]
         context: Optional[jax.Array] = None,
+        control_cond: Optional[jax.Array] = None,  # [B(, T), H, W, Cc] pixel space
+        control_scale: float = 1.0,
     ) -> jax.Array:
         ref_feats = self.reference_features(params, ref_latent, timesteps)
+        control = None
+        if control_cond is not None and self.modules.controlnet is not None:
+            control = self.modules.controlnet.apply(
+                {"params": params["controlnet"]}, noisy_latents, timesteps, control_cond,
+                conditioning_scale=control_scale,
+            )
         out = self.modules.denoiser.apply(
             {"params": params["denoiser"]},
             noisy_latents,
@@ -132,5 +147,6 @@ class EMOModel:
             audio=audio_windows,
             speeds=speeds,
             face_mask=face_mask,
+            control=control,
         )
         return out.sample

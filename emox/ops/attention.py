@@ -167,7 +167,16 @@ def _default_impl() -> str:
     except Exception:  # pragma: no cover
         platform = "cpu"
     # the axon tunnel reports platform "axon" for a real TPU chip
-    return "pallas" if platform in ("tpu", "axon") else "xla"
+    return "auto" if platform in ("tpu", "axon") else "xla"
+
+
+# KV length at which the Pallas flash kernel beats XLA on v5e (measured on
+# chip: lk=1024 XLA 4.02ms vs pallas 4.22; lk=2048 XLA 6.87 vs pallas 4.65;
+# lk=4096 XLA 19.9 vs pallas 14.8; lk=8192 XLA OOMs materialising the f32
+# [16,5,4096,8192] score matrix while pallas runs). Below the cutoff XLA's
+# fused attention wins — tiny-KV calls (temporal lk<=24, audio lk=5) are
+# 2-3x faster through XLA.
+_PALLAS_MIN_KV = 2048
 
 
 def dot_product_attention(
@@ -179,11 +188,13 @@ def dot_product_attention(
 ) -> jax.Array:
     """Dispatching entry point used by all nn modules.
 
-    impl: "pallas" (TPU kernel), "pallas_interpret" (debug), "xla"
-    (fallback / CPU). Default: pallas on TPU else xla, overridable via
-    EMOX_ATTENTION_IMPL.
+    impl: "auto" (shape-based pallas/xla choice, TPU default), "pallas"
+    (force kernel), "pallas_interpret" (debug), "xla" (CPU default).
+    Override via EMOX_ATTENTION_IMPL.
     """
     impl = impl or _default_impl()
+    if impl == "auto":
+        impl = "pallas" if k.shape[2] >= _PALLAS_MIN_KV else "xla"
     if impl == "pallas":
         return flash_attention(q, k, v, scale)
     if impl == "pallas_interpret":

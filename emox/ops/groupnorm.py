@@ -100,11 +100,12 @@ def _default_impl() -> str:
     env = os.environ.get("EMOX_GROUPNORM_IMPL")
     if env:
         return env
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        platform = "cpu"
-    return "pallas" if platform in ("tpu", "axon") else "xla"
+    # Default to XLA everywhere: measured on v5e (flagship 256^2 bench),
+    # XLA's own GN+SiLU fusion beats the single-pass Pallas kernel by ~4%
+    # end-to-end (84.4 vs 87.6 ms/step) — XLA fuses the norm into the
+    # surrounding conv prologue, which the standalone kernel can't.
+    # The kernel stays available via EMOX_GROUPNORM_IMPL=pallas.
+    return "xla"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

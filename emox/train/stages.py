@@ -42,6 +42,7 @@ STAGE_DESCRIPTIONS = {
     1: "single-frame reference denoising",
     2: "temporal + audio attention",
     3: "speed + face-region control layers",
+    4: "ControlNet dense conditioning branch",
 }
 
 # param-name substrings per conditioning family (denoiser collection)
@@ -69,7 +70,11 @@ def trainable_mask(params: Params, stage: int) -> Any:
         top = path.split("/")[0]
         if stage == 0:
             return top == "face_locator"
-        if top in ("vae", "audio_encoder", "face_locator"):
+        if stage == 4:
+            # ControlNet branch only (reference trains the controlnet
+            # separately from the frozen UNet, controlnet.py from_unet flow)
+            return top == "controlnet"
+        if top in ("vae", "audio_encoder", "face_locator", "controlnet"):
             return False  # frozen in stages 1-3
         is_temporal = any(k in path for k in _TEMPORAL_KEYS)
         is_audio = any(k in path for k in _AUDIO_KEYS)
@@ -125,7 +130,7 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
         noisy = add_noise(sched, latents, noise, ts)
 
         audio_windows = None
-        if stage >= 2:
+        if stage >= 2 and "wav" in batch:
             feats = model.modules.audio_encoder.apply({"params": params["audio_encoder"]}, batch["wav"])
             from emox.models.audio import align_audio_to_frames
 
@@ -140,10 +145,11 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
 
         speeds = batch.get("speeds") if stage == 3 else None
         face_mask = batch.get("masks") if stage == 3 else None
+        control_cond = batch.get("control") if stage == 4 else None
 
         pred = model.predict_noise(
             params, noisy, ts, ref_latent, audio_windows=audio_windows,
-            speeds=speeds, face_mask=face_mask,
+            speeds=speeds, face_mask=face_mask, control_cond=control_cond,
         )
         target = noise if sched.prediction_type == "epsilon" else get_velocity(sched, latents, noise, ts)
         err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2

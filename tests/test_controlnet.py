@@ -89,3 +89,53 @@ class TestControlNet:
         s = sig.scaled(0.5)
         np.testing.assert_allclose(np.asarray(s.down[0]), 0.5)
         np.testing.assert_allclose(np.asarray(s.mid), 0.5)
+
+
+class TestEMOControlNet:
+    def test_predict_noise_with_control(self):
+        import dataclasses
+        from emox.models.emo import EMOModel
+        from test_models import tiny_config as emo_tiny
+
+        cfg = emo_tiny()
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_controlnet=True, control_cond_channels=1))
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+        assert "controlnet" in params
+        noisy = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16, 16, 4))
+        ref = jnp.zeros((1, 16, 16, 4))
+        ts = jnp.zeros((1,), jnp.int32)
+        ctrl = jnp.ones((1, 2, 32, 32, 1))
+        base = model.predict_noise(params, noisy, ts, ref)
+        with_c = model.predict_noise(params, noisy, ts, ref, control_cond=ctrl)
+        # zero-init branch: identical at init
+        np.testing.assert_allclose(np.asarray(base), np.asarray(with_c), atol=1e-6)
+
+    def test_stage4_mask(self):
+        import dataclasses
+        from emox.models.emo import EMOModel
+        from emox.train.stages import trainable_mask
+        from test_models import tiny_config as emo_tiny
+
+        cfg = emo_tiny()
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_controlnet=True, control_cond_channels=1))
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+        m = trainable_mask(params, 4)
+        assert all(jax.tree.leaves(m["controlnet"]))
+        assert not any(jax.tree.leaves(m["denoiser"]))
+        m1 = trainable_mask(params, 1)
+        assert not any(jax.tree.leaves(m1["controlnet"]))
+
+    def test_stage4_dataset_item(self, tmp_path):
+        from emox.data.dataset import EMODataset
+        from emox.data.fixtures import write_fixture_dataset
+        from emox.data.precompute import precompute_dataset
+
+        vdir = tmp_path / "v"
+        meta = write_fixture_dataset(str(vdir), num_clips=1, num_frames=6, size=16)
+        precompute_dataset(str(meta), str(vdir), str(tmp_path / "c"), width=16, height=16)
+        ds = EMODataset(str(tmp_path / "c"), "stage4-control", num_frames=2)
+        item = ds.sample(np.random.default_rng(0))
+        assert item["control"].shape[0] == 2
+        assert "frames" in item and "ref_image" in item
