@@ -1,0 +1,94 @@
+"""Paired data augmentation with shared randomness.
+
+The reference applies torchvision transforms to frames and their
+conditioning masks with a shared RNG state so both receive the same
+geometry (reference Net.py:1163-1186 EmoVideoReader.augmentedImageAtFrame,
+Net.py:1244-1252 augmentation with torch.set_rng_state). Here each clip
+gets one sampled AugmentParams applied identically to every frame AND its
+mask/control renders — explicit parameters instead of hidden RNG state.
+
+Numpy only; runs in the host loader thread, never on the TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    horizontal_flip: float = 0.5  # probability
+    crop_scale_min: float = 0.85  # random-resized-crop area lower bound
+    crop_scale_max: float = 1.0
+    brightness: float = 0.1  # +/- range, frames only
+    contrast: float = 0.1
+    enabled: bool = True
+
+
+@dataclass(frozen=True)
+class AugmentParams:
+    flip: bool
+    y0: int
+    x0: int
+    crop_h: int
+    crop_w: int
+    brightness: float
+    contrast: float
+
+
+def sample_params(cfg: AugmentConfig, rng: np.random.Generator, height: int, width: int) -> AugmentParams:
+    scale = rng.uniform(cfg.crop_scale_min, cfg.crop_scale_max)
+    ch = max(1, int(round(height * np.sqrt(scale))))
+    cw = max(1, int(round(width * np.sqrt(scale))))
+    return AugmentParams(
+        flip=bool(rng.random() < cfg.horizontal_flip),
+        y0=int(rng.integers(0, height - ch + 1)),
+        x0=int(rng.integers(0, width - cw + 1)),
+        crop_h=ch,
+        crop_w=cw,
+        brightness=float(rng.uniform(-cfg.brightness, cfg.brightness)),
+        contrast=float(rng.uniform(1 - cfg.contrast, 1 + cfg.contrast)),
+    )
+
+
+def apply_geometry(img: np.ndarray, p: AugmentParams, out_h: int, out_w: int) -> np.ndarray:
+    """Crop/flip/resize [H, W, C] (frames AND masks: geometry only)."""
+    from emox.data.native import resize_bilinear
+
+    out = img[p.y0 : p.y0 + p.crop_h, p.x0 : p.x0 + p.crop_w]
+    if p.flip:
+        out = out[:, ::-1]
+    if out.shape[:2] != (out_h, out_w):
+        out = resize_bilinear(np.ascontiguousarray(out, np.float32), out_h, out_w)
+    return out
+
+
+def apply_color(img: np.ndarray, p: AugmentParams) -> np.ndarray:
+    """Brightness/contrast on [-1, 1] frames (NOT masks)."""
+    out = (img - img.mean()) * p.contrast + img.mean() + p.brightness
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
+def augment_clip(
+    frames: np.ndarray,  # [T, H, W, 3] in [-1, 1]
+    masks: Optional[np.ndarray],  # [T, H, W, 1] or None
+    cfg: AugmentConfig,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """One shared AugmentParams for the whole clip: temporal consistency,
+    and frame/mask geometric alignment (the invariant the reference's
+    shared-RNG dance exists to guarantee)."""
+    if not cfg.enabled:
+        return frames, masks
+    t, h, w = frames.shape[:3]
+    p = sample_params(cfg, rng, h, w)
+    out_frames = np.stack([apply_color(apply_geometry(f, p, h, w), p) for f in frames])
+    out_masks = None
+    if masks is not None:
+        out_masks = np.stack([
+            (apply_geometry(m.astype(np.float32), p, h, w) > 0.5).astype(np.float32) for m in masks
+        ])
+    return out_frames, out_masks

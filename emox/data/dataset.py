@@ -30,10 +30,12 @@ class EMODataset:
         audio_context_frames: int = 2,
         sample_rate: int = 16000,
         fps: float = 25.0,
+        augment=None,  # Optional[emox.data.augment.AugmentConfig]
     ):
         if stage not in STAGES:
             raise ValueError(f"stage must be one of {STAGES}, got {stage!r}")
         self.stage = stage
+        self.augment = augment
         self.num_frames = num_frames
         self.ctx = audio_context_frames
         self.sample_rate = sample_rate
@@ -74,6 +76,10 @@ class EMODataset:
         cid, path = self.clips[rng.integers(len(self.clips))]
         clip = self._load(path)
         frames, masks = clip["frames"], clip["face_masks"]
+        if self.augment is not None:
+            from emox.data.augment import augment_clip
+
+            frames, masks = augment_clip(frames, masks, self.augment, rng)
         t_total = frames.shape[0]
         if self.stage == "stage0-facelocator":
             f = int(rng.integers(t_total))

@@ -73,6 +73,16 @@ class UNet(nn.Module):
     ) -> UNetOutputs:
         cfg = self.cfg
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # rematerialisation: recompute attention-stack activations in the
+        # backward pass instead of storing them (reference enabled torch
+        # gradient checkpointing the same way, unet_controlnet.py:324-326,
+        # unet_3d_blocks.py:388-406)
+        if cfg.remat:
+            ST = nn.remat(SpatialTransformer)
+            TT = nn.remat(TemporalTransformer)
+            AC = nn.remat(AudioCrossAttention)
+        else:
+            ST, TT, AC = SpatialTransformer, TemporalTransformer, AudioCrossAttention
         squeeze = x.ndim == 4
         if squeeze:
             x = x[:, None]
@@ -112,21 +122,21 @@ class UNet(nn.Module):
             rkv = None
             if ref_features is not None and not emit_ref:
                 rkv = [jnp.repeat(r, t, axis=0) for r in ref_features[site]]
-            h, bank = SpatialTransformer(
+            h, bank = ST(
                 heads, head_dim, depth=self.spatial_depth,
                 groups=cfg.norm_groups, sparse_causal=cfg.use_sparse_causal,
-                name=f"{name}_attn", **kw,
-            )(h, context=ctx_frames, ref_kv=rkv, num_frames=1 if emit_ref else t)
+                num_frames=1 if emit_ref else t, name=f"{name}_attn", **kw,
+            )(h, context=ctx_frames, ref_kv=rkv)
             if emit_ref:
                 banks.append(bank)
             site += 1
             hv = unfold_time(h, t)
             if cfg.use_audio and audio is not None:
-                hv = AudioCrossAttention(
+                hv = AC(
                     heads, head_dim, groups=cfg.norm_groups, name=f"{name}_audio", **kw
                 )(hv, audio)
             if cfg.use_temporal and t > 1:
-                hv = TemporalTransformer(
+                hv = TT(
                     heads, head_dim, max_len=cfg.temporal_pos_max_len, name=f"{name}_temporal", **kw
                 )(hv)
             h, _ = fold_time(hv)

@@ -147,6 +147,9 @@ class SpatialTransformer(nn.Module):
     groups: int = 32
     use_cross: bool = True
     sparse_causal: bool = False
+    # frame count for sparse-causal gathering (module attribute, not call
+    # arg, so nn.remat sees only array arguments)
+    num_frames: int = 1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -156,7 +159,6 @@ class SpatialTransformer(nn.Module):
         x: jax.Array,  # [(B T), H, W, C]
         context: Optional[jax.Array] = None,  # [(B T), Lc, Cc]
         ref_kv: Optional[list] = None,  # per-depth-block [(B T), Lr, C]
-        num_frames: int = 1,
     ):
         n, h, w, c = x.shape
         residual = x
@@ -165,8 +167,8 @@ class SpatialTransformer(nn.Module):
         hdn = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(hdn)
 
         sc_gather = None
-        if self.sparse_causal and num_frames > 1:
-            t = num_frames
+        if self.sparse_causal and self.num_frames > 1:
+            t = self.num_frames
 
             def sc_gather(tokens):  # [(B T), L, C] -> [(B T), 2L, C]
                 bt, l, cc = tokens.shape
@@ -186,12 +188,44 @@ class SpatialTransformer(nn.Module):
         return residual + hdn.reshape(n, h, w, c), banks
 
 
+class FrameAxisAttention(nn.Module):
+    """Multi-head attention over the frame axis of [B, T, L, C] tokens,
+    expressed with the spatial axis L as an einsum batch dimension — no
+    physical [B,T,L,C] -> [(B L), T, C] transpose (profiled on v5e: the
+    explicit transposes at 16 sites cost ~10 ms/step; einsum lets XLA fold
+    the permutation into the dots)."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # [B, T, L, C]
+        b, t, l, c = x.shape
+        inner = self.heads * self.head_dim
+        dense = lambda name: nn.Dense(
+            inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        split = lambda y: y.reshape(b, t, l, self.heads, self.head_dim)
+        q = split(dense("to_q")(x))
+        k = split(dense("to_k")(x))
+        v = split(dense("to_v")(x))
+        s = jnp.einsum("bqlhd,bklhd->blhqk", q, k, preferred_element_type=jnp.float32)
+        s = s * (self.head_dim ** -0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("blhqk,bklhd->bqlhd", p.astype(v.dtype), v)
+        o = o.reshape(b, t, l, inner)
+        return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(o)
+
+
 class TemporalTransformer(nn.Module):
     """Attention across frames per spatial location, zero-init output.
 
     Input [B, T, H, W, C]; tokens are the T frames at each (h, w). Identity
     at init (zero proj_out), mirroring AnimateDiff motion-module insertion
     semantics (reference magicanimate/models/motion_module.py:42-334).
+    Layout stays [B, T, L, C] throughout (see FrameAxisAttention).
     """
 
     heads: int
@@ -205,13 +239,13 @@ class TemporalTransformer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, t, h, w, c = x.shape
         residual = x
-        tokens = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-        pe = sinusoidal_positions(self.max_len, c)[:t].astype(tokens.dtype)
+        tokens = x.reshape(b, t, h * w, c)
+        pe = sinusoidal_positions(self.max_len, c)[:t].astype(self.dtype)
         tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm_in")(tokens)
-        tokens = tokens + pe[None]
+        tokens = tokens + pe[None, :, None, :]
         for i in range(self.depth):
             ln = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_{i}")
-            attn = Attention(
+            attn = FrameAxisAttention(
                 self.heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=f"attn_{i}"
             )
             tokens = tokens + attn(ln(tokens))
@@ -222,8 +256,7 @@ class TemporalTransformer(nn.Module):
         out = nn.Dense(
             c, kernel_init=nn.initializers.zeros, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
         )(tokens)
-        out = out.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
-        return residual + out
+        return residual + out.reshape(b, t, h, w, c)
 
 
 class AudioCrossAttention(nn.Module):

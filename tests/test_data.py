@@ -138,3 +138,51 @@ class TestDataset:
     def test_bad_stage_raises(self, cache_dir):
         with pytest.raises(ValueError):
             EMODataset(cache_dir, "stage9")
+
+
+class TestAugment:
+    def test_geometry_shared_between_frames_and_masks(self):
+        from emox.data.augment import AugmentConfig, augment_clip
+
+        rng = np.random.default_rng(3)
+        t, h, w = 4, 32, 32
+        frames = np.zeros((t, h, w, 3), np.float32)
+        frames[:, :, : w // 2] = 1.0  # left half bright
+        masks = np.zeros((t, h, w, 1), np.float32)
+        masks[:, :, : w // 2] = 1.0  # left half masked
+        cfg = AugmentConfig(horizontal_flip=1.0, brightness=0.0, contrast=0.0,
+                            crop_scale_min=1.0, crop_scale_max=1.0)
+        out_f, out_m = augment_clip(frames, masks, cfg, rng)
+        # flip moved the bright half right — in BOTH frames and masks
+        assert out_f[0, 0, -1, 0] > 0.5 and out_f[0, 0, 0, 0] < 0.5
+        assert out_m[0, 0, -1, 0] == 1.0 and out_m[0, 0, 0, 0] == 0.0
+        # identical geometry across all frames
+        for i in range(1, t):
+            np.testing.assert_array_equal(out_m[0], out_m[i])
+
+    def test_disabled_is_identity(self):
+        from emox.data.augment import AugmentConfig, augment_clip
+
+        rng = np.random.default_rng(0)
+        frames = np.random.default_rng(1).normal(size=(2, 8, 8, 3)).astype(np.float32)
+        out_f, out_m = augment_clip(frames, None, AugmentConfig(enabled=False), rng)
+        np.testing.assert_array_equal(out_f, frames)
+        assert out_m is None
+
+    def test_masks_stay_binary(self):
+        from emox.data.augment import AugmentConfig, augment_clip
+
+        rng = np.random.default_rng(0)
+        frames = np.zeros((2, 16, 16, 3), np.float32)
+        masks = (np.random.default_rng(2).random((2, 16, 16, 1)) > 0.5).astype(np.float32)
+        _, out_m = augment_clip(frames, masks, AugmentConfig(), rng)
+        assert set(np.unique(out_m)) <= {0.0, 1.0}
+
+    def test_dataset_with_augment(self, cache_dir):
+        from emox.data.augment import AugmentConfig
+        from emox.data.dataset import EMODataset
+
+        ds = EMODataset(cache_dir, "stage2", num_frames=2, augment=AugmentConfig())
+        item = ds.sample(np.random.default_rng(0))
+        assert item["frames"].shape[0] == 2
+        assert np.abs(item["frames"]).max() <= 1.0

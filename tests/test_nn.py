@@ -121,14 +121,14 @@ class TestSparseCausal:
         from emox.nn.attention_blocks import SpatialTransformer
 
         b, t, hw, c = 1, 3, 4, 8
-        st = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True)
+        st = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True, num_frames=t)
         x = jax.random.normal(jax.random.PRNGKey(0), (b * t, 2, 2, c))
-        params = st.init(jax.random.PRNGKey(1), x, num_frames=t)
-        out, _ = st.apply(params, x, num_frames=t)
+        params = st.init(jax.random.PRNGKey(1), x)
+        out, _ = st.apply(params, x)
         assert out.shape == x.shape
         # causality: output at frame 1 must not depend on frame 2 input
         x2 = x.at[2].add(1.0)  # perturb frame 2 (batch-folded index 2)
-        out2, _ = st.apply(params, x2, num_frames=t)
+        out2, _ = st.apply(params, x2)
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-6)
         assert not np.allclose(np.asarray(out[2]), np.asarray(out2[2]))
@@ -142,6 +142,6 @@ class TestSparseCausal:
         st0 = SpatialTransformer(heads=2, head_dim=4, groups=4)
         p = st0.init(jax.random.PRNGKey(1), x)
         out_a, _ = st0.apply(p, x)
-        st1 = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True)
-        out_b, _ = st1.apply(p, x, num_frames=1)  # t=1 -> no gather
+        st1 = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True, num_frames=1)
+        out_b, _ = st1.apply(p, x)  # t=1 -> no gather
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))
