@@ -31,8 +31,11 @@ def main() -> None:
     preset = os.environ.get("EMOX_BENCH_PRESET", "flagship")
     iters = int(os.environ.get("EMOX_BENCH_ITERS", "10"))
     num_frames = 16
-    image_size = 256 if preset == "flagship" else (128 if preset == "small" else 32)
-    cfg = PRESETS[preset](image_size=image_size, num_frames=num_frames)
+    sizes = {"flagship": 256, "flagship512": 512, "small": 128, "tiny": 32}
+    image_size = sizes[preset]
+    cfg = PRESETS["flagship" if preset == "flagship512" else preset](
+        image_size=image_size, num_frames=num_frames
+    )
     model = EMOModel(cfg, dtype=jnp.bfloat16)
 
     params = jax.jit(lambda k: model.init_params(k, num_frames=num_frames, image_size=image_size))(

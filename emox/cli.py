@@ -181,6 +181,29 @@ def cmd_import_weights(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    import jax
+
+    from emox.infer.export import export_denoise_step, save_exported
+    from emox.models.emo import EMOModel
+    from emox.train.trainer import Checkpointer
+
+    cfg = _load_config(args)
+    model = EMOModel(cfg)
+    if args.params:
+        params = Checkpointer(args.params).restore_params()
+        if params is None:
+            raise SystemExit(f"no checkpoint under {args.params}")
+    else:
+        params = model.init_params(
+            jax.random.PRNGKey(0), num_frames=args.frames, image_size=args.size
+        )
+    exp = export_denoise_step(model, params, num_frames=args.frames, image_size=args.size)
+    save_exported(exp, args.out)
+    print(f"exported denoise step ({args.frames}f {args.size}^2) -> {args.out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ["EMOX_BENCH_PRESET"] = args.preset
     if args.iters:
@@ -290,8 +313,17 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
     pw.set_defaults(fn=cmd_import_weights)
 
+    px = sub.add_parser("export", help="AOT-export the denoise step (StableHLO) for serving")
+    px.add_argument("--config", default=None)
+    px.add_argument("--params", default=None)
+    px.add_argument("--out", required=True)
+    px.add_argument("--frames", type=int, default=16)
+    px.add_argument("--size", type=int, default=256)
+    px.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
+    px.set_defaults(fn=cmd_export)
+
     pb = sub.add_parser("bench", help="denoise-step throughput benchmark")
-    pb.add_argument("--preset", default="tiny", choices=("tiny", "small", "flagship"))
+    pb.add_argument("--preset", default="tiny", choices=("tiny", "small", "flagship", "flagship512"))
     pb.add_argument("--iters", type=int, default=None)
     pb.set_defaults(fn=cmd_bench)
     return p

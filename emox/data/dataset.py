@@ -31,11 +31,21 @@ class EMODataset:
         sample_rate: int = 16000,
         fps: float = 25.0,
         augment=None,  # Optional[emox.data.augment.AugmentConfig]
+        num_motion_frames: int = 0,  # preceding frames for temporal priming
+        # (reference Net.py:44-72 pre_extract_motion_features + EMODataset
+        # stage1-vae motion_frames; 0 disables)
+        ref_mode: str = "random",  # "random" | "first": reference frame pick
+        # ("first" = the reference's stage-2 convention: clip frame 0 is the
+        # identity reference, train_stage_2_temporal_audio.py)
     ):
         if stage not in STAGES:
             raise ValueError(f"stage must be one of {STAGES}, got {stage!r}")
+        if ref_mode not in ("random", "first"):
+            raise ValueError(f"ref_mode must be 'random' or 'first', got {ref_mode!r}")
         self.stage = stage
         self.augment = augment
+        self.num_motion_frames = num_motion_frames
+        self.ref_mode = ref_mode
         self.num_frames = num_frames
         self.ctx = audio_context_frames
         self.sample_rate = sample_rate
@@ -90,10 +100,14 @@ class EMODataset:
         start = int(rng.integers(max(1, t_total - self.num_frames + 1)))
         idx = np.arange(start, start + self.num_frames)
         idx = np.clip(idx, 0, t_total - 1)
+        ref = idx[0] if self.ref_mode == "first" else int(rng.integers(t_total))
         item = {
             "frames": frames[idx],
-            "ref_image": frames[int(rng.integers(t_total))],
+            "ref_image": frames[int(ref)],
         }
+        if self.num_motion_frames > 0:
+            midx = np.clip(np.arange(start - self.num_motion_frames, start), 0, t_total - 1)
+            item["motion_frames"] = frames[midx]
         if self.stage == "stage4-control":
             # dense per-frame conditioning renders; the cache may ship real
             # pose renders under "control", else face masks act as the

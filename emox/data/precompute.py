@@ -29,18 +29,45 @@ except ImportError:  # pragma: no cover
     _HAS_CV2 = False
 
 
-def read_video_frames(path: str, width: int, height: int, max_frames: Optional[int] = None) -> np.ndarray:
+def read_video_frames(
+    path: str,
+    width: int,
+    height: int,
+    max_frames: Optional[int] = None,
+    bbox: Optional[Dict[str, float]] = None,
+    time_window: Optional[Dict[str, float]] = None,
+) -> np.ndarray:
     """mp4 -> [T, H, W, 3] float32 in [-1, 1] (cv2 replaces the reference's
-    decord/PyAV readers, reference Net.py:1163-1186, videoreader.py:31-156)."""
+    decord/PyAV readers, reference Net.py:1163-1186, videoreader.py:31-156).
+
+    bbox: CelebV-HQ-style fractional crop {top, bottom, left, right} and
+    time_window {start_sec, end_sec} (reference ExtractFrames.py:22-85:
+    crop clips out of source videos by metadata bbox/time).
+    """
     if not _HAS_CV2:
         raise RuntimeError("cv2 unavailable; provide .npz clips instead")
     cap = cv2.VideoCapture(path)
+    fps_src = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    start_f = int((time_window or {}).get("start_sec", 0) * fps_src)
+    end_f = (time_window or {}).get("end_sec")
+    end_f = int(end_f * fps_src) if end_f is not None else None
+    if start_f:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start_f)
     frames = []
+    fi = start_f
     while True:
         ok, frame = cap.read()
-        if not ok or (max_frames and len(frames) >= max_frames):
+        if not ok or (max_frames and len(frames) >= max_frames) or (end_f is not None and fi >= end_f):
             break
+        fi += 1
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if bbox:
+            h0, w0 = frame.shape[:2]
+            y0 = int(bbox.get("top", 0.0) * h0)
+            y1 = int(bbox.get("bottom", 1.0) * h0)
+            x0 = int(bbox.get("left", 0.0) * w0)
+            x1 = int(bbox.get("right", 1.0) * w0)
+            frame = frame[max(0, y0) : min(h0, y1), max(0, x0) : min(w0, x1)]
         frame = cv2.resize(frame, (width, height), interpolation=cv2.INTER_AREA)
         frames.append(frame.astype(np.float32) / 127.5 - 1.0)
     cap.release()
@@ -81,6 +108,7 @@ def precompute_clip(
     sample_rate: int = 16000,
     face_helper: Optional[FaceHelper] = None,
     max_frames: Optional[int] = None,
+    clip_meta: Optional[Dict] = None,  # CelebV-HQ entry: bbox / duration
 ) -> Dict[str, np.ndarray]:
     """One clip -> {frames, face_masks, wav, pose_speeds} npz."""
     if src_path.endswith(".npz"):
@@ -92,8 +120,16 @@ def precompute_clip(
         masks = clip.get("face_masks")
         speeds = clip.get("pose_speeds")
     else:
-        frames = read_video_frames(src_path, width, height, max_frames)
+        meta = clip_meta or {}
+        frames = read_video_frames(
+            src_path, width, height, max_frames,
+            bbox=meta.get("bbox"), time_window=meta.get("duration"),
+        )
         wav = extract_wav(src_path, sample_rate)
+        if wav is not None and meta.get("duration"):
+            s0 = int(meta["duration"].get("start_sec", 0) * sample_rate)
+            s1 = meta["duration"].get("end_sec")
+            wav = wav[s0 : int(s1 * sample_rate) if s1 is not None else None]
         if wav is None:
             wav = np.zeros(int(len(frames) / fps * sample_rate), np.float32)
         masks = speeds = None
@@ -131,17 +167,28 @@ def precompute_dataset(
         meta = json.load(f)
     os.makedirs(cache_dir, exist_ok=True)
     manifest = {}
-    for cid in meta["clips"]:
+    for cid, centry in meta["clips"].items():
         src = None
         for ext in (".mp4", ".npz"):
             cand = os.path.join(video_dir, cid + ext)
             if os.path.exists(cand):
                 src = cand
                 break
+        if src is None and isinstance(centry, dict) and centry.get("ytb_id"):
+            # CelebV-HQ layout: clip is cut out of the source video by
+            # bbox/time metadata (reference ExtractFrames.py:22-85)
+            for ext in (".mp4", ".npz"):
+                cand = os.path.join(video_dir, centry["ytb_id"] + ext)
+                if os.path.exists(cand):
+                    src = cand
+                    break
         if src is None:
             continue
         out_path = os.path.join(cache_dir, cid + ".npz")
-        clip = precompute_clip(src, out_path, width, height, fps, face_helper=face_helper)
+        clip = precompute_clip(
+            src, out_path, width, height, fps, face_helper=face_helper,
+            clip_meta=centry if isinstance(centry, dict) else None,
+        )
         manifest[cid] = {"frames": int(clip["frames"].shape[0]), "path": out_path}
     man_path = os.path.join(cache_dir, "manifest.json")
     with open(man_path, "w") as f:

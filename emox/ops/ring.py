@@ -95,9 +95,12 @@ def ring_attention(
         def vary(x):  # mark replicated literals as axis-varying so the
             # fori_loop carry types match the ppermute outputs (jax>=0.8 vma)
             try:
-                return lax.pvary(x, (axis,))
-            except (AttributeError, TypeError):  # pragma: no cover
-                return x
+                return lax.pcast(x, (axis,), to="varying")
+            except (AttributeError, TypeError):
+                try:
+                    return lax.pvary(x, (axis,))  # pre-pcast jax
+                except (AttributeError, TypeError):  # pragma: no cover
+                    return x
 
         init = (
             k_loc,

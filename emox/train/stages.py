@@ -120,6 +120,13 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
             frames = batch["images"][:, None]  # [B, 1, H, W, 3]
         else:
             frames = batch["frames"]
+        num_motion = 0
+        if stage >= 2 and "motion_frames" in batch:
+            # motion-frame priming (reference Net.py:44-72): preceding
+            # frames join the clip so temporal attention conditions on
+            # them; their own noise prediction is excluded from the loss
+            num_motion = batch["motion_frames"].shape[1]
+            frames = jnp.concatenate([batch["motion_frames"], frames], axis=1)
         b, t = frames.shape[:2]
         latents = model.encode_images(params, frames, key=k_enc)
         ref_latent = model.encode_images(params, batch["ref_image"])
@@ -134,9 +141,12 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
             feats = model.modules.audio_encoder.apply({"params": params["audio_encoder"]}, batch["wav"])
             from emox.models.audio import align_audio_to_frames
 
+            # wav slice starts `context_frames` before the (un-primed) clip;
+            # motion frames sit a further num_motion frames earlier, so the
+            # offset shrinks accordingly (their windows zero-pad off the edge)
             audio_windows = align_audio_to_frames(
                 feats, t, audio_feature_rate(acfg), acfg.video_fps, acfg.context_frames,
-                frame_offset=acfg.context_frames,
+                frame_offset=acfg.context_frames - num_motion,
             )
             # CFG dropout on audio conditioning
             if config.train.uncond_ratio > 0:
@@ -153,6 +163,8 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
         )
         target = noise if sched.prediction_type == "epsilon" else get_velocity(sched, latents, noise, ts)
         err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        if num_motion > 0:
+            err = err[:, num_motion:]
         per_sample = jnp.mean(err, axis=tuple(range(1, err.ndim)))
         w = min_snr_loss_weight(sched, ts, dcfg.snr_gamma)
         loss = jnp.mean(w * per_sample)

@@ -68,21 +68,53 @@ def make_optimizer(config: Config, mask: Any) -> optax.GradientTransformation:
 
 class MetricsLogger:
     """jsonl metrics stream (replaces the reference's wandb/mlflow streams,
-    train_stage_3_speedlayers.py:304-309, EMOAnimationPipeline.py:857)."""
+    train_stage_3_speedlayers.py:304-309, EMOAnimationPipeline.py:857).
+
+    Optional extra sinks, gated on availability:
+      * TensorBoard via torch.utils.tensorboard when EMOX_TENSORBOARD=1
+        (the reference imported SummaryWriter but left it commented out,
+        videonet_animatediff.py:26,95-96)
+      * wandb when EMOX_WANDB=1 and the package is installed
+    """
 
     def __init__(self, log_dir: str, name: str = "train"):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}_metrics.jsonl")
         self._f = open(self.path, "a")
+        self._tb = None
+        self._wandb = None
+        if os.environ.get("EMOX_TENSORBOARD") == "1":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb", name))
+            except ImportError:
+                pass
+        if os.environ.get("EMOX_WANDB") == "1":
+            try:
+                import wandb
+
+                self._wandb = wandb
+                if wandb.run is None:
+                    wandb.init(project=os.environ.get("EMOX_WANDB_PROJECT", "emox"), name=name)
+            except ImportError:
+                pass
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step)
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Checkpointer:
@@ -162,8 +194,12 @@ class Trainer:
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, ema_params=ema)
 
         self.ckpt = Checkpointer(os.path.join(tc.checkpoint_dir, f"stage{self.stage}"), tc.keep_checkpoints)
+        self.best_ckpt = Checkpointer(os.path.join(tc.checkpoint_dir, f"stage{self.stage}_best"), 1)
+        self.best_eval_loss = float("inf")
         self.logger = MetricsLogger(tc.checkpoint_dir, f"stage{self.stage}")
         self._train_step = self._build_train_step()
+        self._eval_step = jax.jit(lambda params, batch, key: self.loss_fn(
+            self.policy.cast_to_compute(params), batch, key))
 
     def _build_train_step(self):
         tc = self.config.train
@@ -207,7 +243,28 @@ class Trainer:
         self.state = self.state._replace(params=params, opt_state=jax.jit(self.opt.init, out_shardings=rep)(params))
         return True
 
-    def fit(self, batches: Iterable[Dict], num_steps: Optional[int] = None) -> Dict[str, float]:
+    def evaluate(self, batches: Iterable[Dict], num_batches: int = 8) -> Dict[str, float]:
+        """Mean loss over held-out batches, fixed eval seed (reference
+        Stage3Trainer.evaluate, train_stage_3_speedlayers.py:462-508)."""
+        key = jax.random.PRNGKey(self.config.train.seed + 1234)
+        losses = []
+        it = iter(batches)
+        for i in range(num_batches):
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            key, sub = jax.random.split(key)
+            loss, _ = self._eval_step(self.state.params, batch, sub)
+            losses.append(float(loss))
+        return {"eval_loss": float(np.mean(losses)) if losses else float("nan")}
+
+    def fit(
+        self,
+        batches: Iterable[Dict],
+        num_steps: Optional[int] = None,
+        eval_batches: Optional[Iterable[Dict]] = None,
+    ) -> Dict[str, float]:
         tc = self.config.train
         num_steps = num_steps or tc.num_steps
         key = jax.random.PRNGKey(tc.seed + 1)
@@ -222,6 +279,14 @@ class Trainer:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 self.logger.log(step + 1, metrics)
                 last_metrics = metrics
+            if tc.eval_every and eval_batches is not None and (step + 1) % tc.eval_every == 0:
+                ev = self.evaluate(eval_batches)
+                self.logger.log(step + 1, ev)
+                last_metrics.update(ev)
+                # best-eval checkpoint (reference :523-527)
+                if ev["eval_loss"] == ev["eval_loss"] and ev["eval_loss"] < self.best_eval_loss:
+                    self.best_eval_loss = ev["eval_loss"]
+                    self.best_ckpt.save(step + 1, self.state)
             if tc.checkpoint_every and (step + 1) % tc.checkpoint_every == 0:
                 self.ckpt.save(step + 1, self.state)
         if tc.checkpoint_every and int(self.state.step) % tc.checkpoint_every != 0:
