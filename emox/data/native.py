@@ -43,6 +43,12 @@ def _lib() -> Optional[ctypes.CDLL]:
         lib.eh_unit_f32_to_u8.argtypes = [f32p, u8p, i64]
         lib.eh_resize_bilinear_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                                f32p, ctypes.c_int, ctypes.c_int]
+        if hasattr(lib, "eh_augment_frame_f32"):
+            lib.eh_augment_frame_f32.argtypes = [
+                f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, f32p, ctypes.c_int, ctypes.c_int,
+            ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -120,6 +126,25 @@ def resize_bilinear(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
         return out.astype(np.float32)
     out = np.empty((dh, dw, c), np.float32)
     lib.eh_resize_bilinear_f32(_fp(img), sh, sw, c, _fp(out), dh, dw)
+    return out
+
+
+def augment_frame(
+    img: np.ndarray, y0: int, x0: int, ch: int, cw: int, flip: bool,
+    brightness: float, contrast: float, dh: int, dw: int,
+) -> Optional[np.ndarray]:
+    """Fused crop+flip+resize+color in one native pass; None if the library
+    (or the symbol) is unavailable — caller falls back to the numpy path."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "eh_augment_frame_f32"):
+        return None
+    img = np.ascontiguousarray(img, np.float32)
+    sh, sw, c = img.shape
+    out = np.empty((dh, dw, c), np.float32)
+    lib.eh_augment_frame_f32(
+        _fp(img), sh, sw, c, y0, x0, ch, cw, 1 if flip else 0,
+        float(brightness), float(contrast), _fp(out), dh, dw,
+    )
     return out
 
 

@@ -68,17 +68,40 @@ class EMOPipeline:
 
     def _model_out(self, params, latents, t, ref_latent, audio, speeds, face_mask, guidance_scale,
                    control_cond=None):
-        """CFG-combined noise prediction for the full latent clip."""
+        """CFG-combined noise prediction for the full latent clip.
+
+        Uncond = zeroed reference latent + zeroed audio (the reference's
+        empty-prompt + uncond-masked attention banks,
+        EMOAnimationPipeline.py:641-679, mutual_self_attention.py:243-255).
+        With cfg_batching the two branches run as one doubled-batch call.
+        """
+        if guidance_scale == 1.0:
+            return self.model.predict_noise(
+                params, latents, t, ref_latent, audio_windows=audio, speeds=speeds,
+                face_mask=face_mask, control_cond=control_cond,
+            )
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        if self.config.inference.cfg_batching:
+            out = self.model.predict_noise(
+                params,
+                cat(latents, latents),
+                cat(t, t),
+                cat(jnp.zeros_like(ref_latent), ref_latent),
+                audio_windows=None if audio is None else cat(jnp.zeros_like(audio), audio),
+                speeds=None if speeds is None else cat(speeds, speeds),
+                face_mask=None if face_mask is None else cat(face_mask, face_mask),
+                control_cond=None if control_cond is None else cat(control_cond, control_cond),
+            )
+            b = latents.shape[0]
+            return cfg_combine(out[:b], out[b:], guidance_scale)
         cond = self.model.predict_noise(
             params, latents, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask,
             control_cond=control_cond,
         )
-        if guidance_scale == 1.0:
-            return cond
         uncond = self.model.predict_noise(
             params, latents, t, jnp.zeros_like(ref_latent),
             audio_windows=None if audio is None else jnp.zeros_like(audio),
-            speeds=None, face_mask=None, control_cond=control_cond,
+            speeds=speeds, face_mask=face_mask, control_cond=control_cond,
         )
         return cfg_combine(uncond, cond, guidance_scale)
 
@@ -209,7 +232,7 @@ class EMOPipeline:
                 f = interpolation_factor or self.config.inference.interpolation_factor
                 if f > 1:
                     lat = interpolate_latents(lat, f, mode="slerp")
-                return self.model.decode_latents(params, lat)
+                return self.model.decode_latents(params, lat, chunk=self.config.inference.decode_chunk)
 
             self._jitted[cache_key] = jax.jit(run)
         key = key if key is not None else jax.random.PRNGKey(self.config.inference.seed)

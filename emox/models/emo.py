@@ -97,10 +97,20 @@ class EMOModel:
         z = z * self.config.vae.scaling_factor
         return z.reshape(*shape[:-3], *z.shape[-3:])
 
-    def decode_latents(self, params: Params, latents: jax.Array) -> jax.Array:
+    def decode_latents(self, params: Params, latents: jax.Array, chunk: int = 0) -> jax.Array:
+        """Latents -> images. chunk > 0 decodes that many frames at a time
+        via lax.map — bounds peak memory for long clips (the reference's
+        VAE slicing + per-frame decode loop, EMOAnimationPipeline.py:170-174,
+        291-307 — but compiled, not a Python loop)."""
         shape = latents.shape
         flat = latents.reshape(-1, *shape[-3:]) / self.config.vae.scaling_factor
-        img = self.modules.vae.apply({"params": params["vae"]}, flat, method=AutoencoderKL.decode)
+        dec = lambda z: self.modules.vae.apply({"params": params["vae"]}, z, method=AutoencoderKL.decode)
+        n = flat.shape[0]
+        if chunk and n > chunk and n % chunk == 0:
+            img = jax.lax.map(dec, flat.reshape(n // chunk, chunk, *shape[-3:]))
+            img = img.reshape(n, *img.shape[-3:])
+        else:
+            img = dec(flat)
         return img.reshape(*shape[:-3], *img.shape[-3:])
 
     def reference_features(self, params: Params, ref_latent: jax.Array, timesteps: jax.Array):

@@ -61,6 +61,10 @@ def make_optimizer(config: Config, mask: Any) -> optax.GradientTransformation:
     # to set_to_zero so their updates are exactly 0.
     labels = jax.tree.map(lambda b: "train" if b else "freeze", mask)
     opt = optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
+    # failure containment: a non-finite grad (bf16 overflow, bad batch)
+    # skips the update instead of poisoning params (the reference's only
+    # guard was AMP GradScaler skip, train_stage_3_speedlayers.py:432-440)
+    opt = optax.apply_if_finite(opt, max_consecutive_errors=10)
     if tc.gradient_accumulation > 1:
         opt = optax.MultiSteps(opt, tc.gradient_accumulation)
     return opt

@@ -113,6 +113,52 @@ void eh_resize_bilinear_f32(const float* src, int sh, int sw, int c,
   }
 }
 
+// Fused augmentation: crop[y0:y0+ch, x0:x0+cw] -> optional horizontal flip
+// -> bilinear resize to (dh, dw) -> optional brightness/contrast (contrast
+// pivots on the crop mean). One pass over the output, one reduction over
+// the crop; replaces the numpy crop-view + flip-view + resize + two
+// elementwise passes in emox/data/augment.py.
+void eh_augment_frame_f32(const float* src, int sh, int sw, int c,
+                          int y0, int x0, int ch, int cw, int flip,
+                          float brightness, float contrast,
+                          float* dst, int dh, int dw) {
+  // crop mean (for contrast pivot), single pass, all channels
+  double mean = 0.0;
+  if (contrast != 1.0f) {
+    double acc = 0.0;
+    for (int y = y0; y < y0 + ch; ++y) {
+      const float* row = src + ((int64_t)y * sw + x0) * c;
+      const int64_t n = (int64_t)cw * c;
+      for (int64_t i = 0; i < n; ++i) acc += row[i];
+    }
+    mean = acc / ((double)ch * cw * c);
+  }
+  const double sy = (double)ch / dh, sx = (double)cw / dw;
+  for (int y = 0; y < dh; ++y) {
+    double fy = (y + 0.5) * sy - 0.5;
+    fy = std::max(0.0, std::min(fy, (double)ch - 1));
+    const int yy0 = (int)fy, yy1 = std::min(yy0 + 1, ch - 1);
+    const double wy = fy - yy0;
+    for (int x = 0; x < dw; ++x) {
+      const int xo = flip ? (dw - 1 - x) : x;
+      double fx = (xo + 0.5) * sx - 0.5;
+      fx = std::max(0.0, std::min(fx, (double)cw - 1));
+      const int xx0 = (int)fx, xx1 = std::min(xx0 + 1, cw - 1);
+      const double wx = fx - xx0;
+      const float* r0 = src + ((int64_t)(y0 + yy0) * sw + x0) * c;
+      const float* r1 = src + ((int64_t)(y0 + yy1) * sw + x0) * c;
+      for (int k = 0; k < c; ++k) {
+        double v = (1 - wy) * ((1 - wx) * r0[xx0 * c + k] + wx * r0[xx1 * c + k]) +
+                   wy * ((1 - wx) * r1[xx0 * c + k] + wx * r1[xx1 * c + k]);
+        if (contrast != 1.0f) v = (v - mean) * contrast + mean;
+        v += brightness;
+        v = std::max(-1.0, std::min(1.0, v));
+        dst[((int64_t)y * dw + x) * c + k] = (float)v;
+      }
+    }
+  }
+}
+
 // ---- prefetch ring ----------------------------------------------------
 // A bounded MPMC byte-buffer queue: dataloader threads push finished
 // batches, the feed thread pops. Replaces Python-queue handoff so the

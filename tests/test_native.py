@@ -74,3 +74,37 @@ def test_fallbacks_work_without_lib():
         assert native.u8_to_unit(np.full((2, 2, 3), 255, np.uint8)).max() <= 1.0
     finally:
         native._LIB = lib
+
+
+class TestAugmentKernel:
+    def test_native_matches_numpy(self):
+        from emox.data import native
+        from emox.data.augment import AugmentParams, apply_color, apply_geometry
+
+        if not native.available() or native.augment_frame(
+            np.zeros((4, 4, 1), np.float32), 0, 0, 4, 4, False, 0.0, 1.0, 4, 4
+        ) is None:
+            import pytest
+
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(24, 20, 3)).astype(np.float32) * 0.4
+        p = AugmentParams(flip=True, y0=2, x0=3, crop_h=18, crop_w=15, brightness=0.05, contrast=1.1)
+        nat = native.augment_frame(img, p.y0, p.x0, p.crop_h, p.crop_w, p.flip,
+                                   p.brightness, p.contrast, 24, 20)
+        geo = apply_geometry(img, p, 24, 20)
+        pivot = float(img[p.y0 : p.y0 + p.crop_h, p.x0 : p.x0 + p.crop_w].mean())
+        ref = apply_color(geo, p, pivot=pivot)
+        np.testing.assert_allclose(nat, ref, atol=2e-6)
+
+    def test_geometry_only_mask_path(self):
+        from emox.data import native
+        from emox.data.augment import AugmentParams, apply_geometry
+
+        out = native.augment_frame(np.ones((8, 8, 1), np.float32), 1, 1, 6, 6, True, 0.0, 1.0, 8, 8)
+        if out is None:
+            import pytest
+
+            pytest.skip("native library not built")
+        ref = apply_geometry(np.ones((8, 8, 1), np.float32), AugmentParams(True, 1, 1, 6, 6, 0.0, 1.0), 8, 8)
+        np.testing.assert_allclose(out, ref, atol=1e-6)

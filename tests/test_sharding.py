@@ -80,3 +80,38 @@ class TestDryrun:
         ge.dryrun_multichip(8)
         out = capsys.readouterr().out
         assert "1 train step OK" in out
+
+
+class TestContextShardedInference:
+    def test_windowed_sampling_on_context_mesh(self):
+        """Overlapping denoise windows shard over the mesh context axis
+        inside one compiled program (the reference's rank::world_size window
+        split, EMOAnimationPipeline.py:757, without host collectives)."""
+        import dataclasses
+
+        from emox.core.config import InferenceConfig, MeshConfig
+        from emox.core.mesh import create_mesh
+        from emox.infer.pipeline import EMOPipeline
+        from emox.models.emo import EMOModel
+        from test_models import tiny_config
+
+        cfg = tiny_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, use_audio=False, use_temporal=True),
+            inference=InferenceConfig(
+                context_frames=4, context_overlap=1, context_stride=1,
+                video_length=8, width=32, height=32, num_inference_steps=2,
+                guidance_scale=1.0,
+            ),
+        )
+        mesh = create_mesh(MeshConfig(data=1, context=4, model=1))
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=4, image_size=32)
+        pipe_sharded = EMOPipeline(model, cfg, mesh=mesh)
+        pipe_plain = EMOPipeline(model, cfg)
+        ref = jnp.zeros((1, 32, 32, 3))
+        wav = jnp.zeros((1, 16000))
+        lat_s = pipe_sharded.generate_latents(params, ref, wav, video_length=8)
+        lat_p = pipe_plain.generate_latents(params, ref, wav, video_length=8)
+        assert lat_s.shape == (1, 8, 16, 16, 4)
+        np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_p), atol=1e-4)
