@@ -185,9 +185,13 @@ class Trainer:
         self.loss_fn = stage_loss_fn(self.model, config, self.sched, self.stage)
 
         if init_params is None:
-            init_params = self.model.init_params(
-                jax.random.PRNGKey(tc.seed), num_frames=max(2, config.data.num_frames), image_size=config.data.height
-            )
+            # jit the whole init: eager flax init through remat-lifted
+            # modules runs op-by-op and is pathologically slow on CPU
+            init_params = jax.jit(
+                lambda k: self.model.init_params(
+                    k, num_frames=max(2, config.data.num_frames), image_size=config.data.height
+                )
+            )(jax.random.PRNGKey(tc.seed))
         self.mask = trainable_mask(init_params, self.stage)
         self.opt = make_optimizer(config, self.mask)
 
@@ -275,7 +279,17 @@ class Trainer:
         start = int(self.state.step)
         last_metrics: Dict[str, float] = {}
         it = iter(batches)
+        # xprof capture of steps [3, 6) when EMOX_PROFILE_DIR is set
+        # (SURVEY.md §5: the reference has no tracing at all)
+        profile_dir = os.environ.get("EMOX_PROFILE_DIR")
+        tracing = False
         for step in range(start, num_steps):
+            if profile_dir and step - start == 3:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
+            if tracing and step - start == 6:
+                jax.profiler.stop_trace()
+                tracing = False
             batch = next(it)
             key, sub = jax.random.split(key)
             self.state, metrics = self._train_step(self.state, batch, sub)
@@ -295,4 +309,6 @@ class Trainer:
                 self.ckpt.save(step + 1, self.state)
         if tc.checkpoint_every and int(self.state.step) % tc.checkpoint_every != 0:
             self.ckpt.save(int(self.state.step), self.state)
+        if tracing:  # run shorter than the capture window
+            jax.profiler.stop_trace()
         return last_metrics

@@ -74,3 +74,53 @@ class TestIO:
         wav, sr = _load_audio(p, 16000)
         assert sr == 16000
         assert abs(len(wav) - 16000) <= 2  # resampled 1 s
+
+
+class TestEndToEnd:
+    def test_precompute_train_infer_cli(self, tmp_path):
+        """Drive the real CLI path: fixtures -> precompute -> stage-0 train
+        -> infer smoke (random init), like a user would."""
+        import yaml
+
+        from emox.cli import main
+        from emox.data.fixtures import write_fixture_dataset
+
+        vdir = tmp_path / "videos"
+        meta = write_fixture_dataset(str(vdir), num_clips=1, num_frames=6, size=32)
+        cache = str(tmp_path / "cache")
+        assert main([
+            "precompute", "--metadata", str(meta), "--videos", str(vdir),
+            "--cache", cache, "--width", "32", "--height", "32",
+        ]) == 0
+
+        cfg = {
+            "vae": {"base_channels": 8, "channel_multipliers": [1, 2], "num_res_blocks": 1, "norm_groups": 4},
+            "model": {"base_channels": 8, "channel_multipliers": [1, 2], "layers_per_block": 1,
+                      "norm_groups": 4, "attention_head_dim": 4, "cross_attention_dim": 8,
+                      "attention_levels": [1], "audio_context_dim": 16},
+            "audio": {"hidden_dim": 16, "num_layers": 1, "num_heads": 2, "conv_dim": 8},
+            "mesh": {"data": 1, "context": 1, "model": 1},
+            "data": {"width": 32, "height": 32, "num_frames": 2, "batch_size": 2, "cache_dir": cache},
+            "train": {"stage": 0, "num_steps": 2, "log_every": 1, "checkpoint_every": 2,
+                      "checkpoint_dir": str(tmp_path / "ckpt"), "compute_dtype": "float32"},
+            "inference": {"context_frames": 4, "video_length": 2, "width": 32, "height": 32,
+                          "num_inference_steps": 2, "guidance_scale": 1.0},
+        }
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        assert main(["train", "--config", cfg_path]) == 0
+        assert (tmp_path / "ckpt" / "stage0").exists()
+
+        import numpy as np
+
+        ref = str(tmp_path / "ref.npy")
+        np.save(ref, np.zeros((32, 32, 3), np.float32))
+        wav = str(tmp_path / "a.npy")
+        np.save(wav, np.zeros(16000, np.float32))
+        out = str(tmp_path / "out.npz")
+        assert main([
+            "infer", "--config", cfg_path, "--ref-image", ref, "--audio", wav,
+            "--out", out, "--frames", "2", "--steps", "2",
+        ]) == 0
+        assert (tmp_path / "out.npz").exists()
