@@ -113,6 +113,7 @@ def cmd_train(args) -> int:
 
 def cmd_infer(args) -> int:
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from emox.infer.pipeline import EMOPipeline
@@ -128,8 +129,6 @@ def cmd_infer(args) -> int:
         if params is None:
             raise SystemExit(f"no checkpoint under {args.params}")
     else:
-        import jax
-
         print("WARNING: no --params given; using random init (smoke test)")
         params = model.init_params(
             jax.random.PRNGKey(0), num_frames=2, image_size=cfg.inference.height
@@ -140,6 +139,21 @@ def cmd_infer(args) -> int:
     fps = cfg.inference.fps
     total = args.frames or int(len(wav) / sr * fps) or cfg.inference.video_length
 
+    face_mask = None
+    if args.face_mask == "auto":
+        # stage-0 FaceLocator on the reference image (geometric prior via
+        # FaceHelper if the locator is untrained)
+        logits = model.locate_face(params, jnp.asarray(ref[None]))
+        face_mask = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        if float(face_mask.mean()) < 0.01:
+            from emox.data.face import geometric_prior_mask
+
+            face_mask = jnp.asarray(
+                geometric_prior_mask(cfg.inference.height, cfg.inference.width)[None]
+            )
+    elif args.face_mask:
+        face_mask = jnp.asarray(_load_image(args.face_mask, cfg.inference.width, cfg.inference.height)[None, ..., :1])
+
     pipe = EMOPipeline(model, cfg)
     if total > cfg.inference.context_frames and args.autoregressive:
         frames = pipe.generate_long(
@@ -149,7 +163,7 @@ def cmd_infer(args) -> int:
     else:
         frames = pipe(
             params, jnp.asarray(ref[None]), jnp.asarray(wav[None]), video_length=total,
-            num_inference_steps=args.steps, guidance_scale=args.guidance,
+            num_inference_steps=args.steps, guidance_scale=args.guidance, face_mask=face_mask,
         )
     out = save_video(np.asarray(frames[0]), args.out, fps=fps, wav=wav, sample_rate=sr)
     print(f"wrote {out} ({total} frames @ {fps} fps)")
@@ -301,6 +315,7 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--steps", type=int, default=None)
     pi.add_argument("--guidance", type=float, default=None)
     pi.add_argument("--autoregressive", action="store_true")
+    pi.add_argument("--face-mask", default=None, help="'auto' (FaceLocator) or mask image path")
     pi.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
     pi.set_defaults(fn=cmd_infer)
 

@@ -135,6 +135,9 @@ class ModelConfig:
     # render per frame, reference magicanimate/models/controlnet.py)
     use_controlnet: bool = False
     control_cond_channels: int = 3
+    # depthwise-separable 3x3 convs in ResBlocks (working version of the
+    # reference's abandoned depthwise experiment, reference depthwise.py)
+    separable_convs: bool = False
     flash_attention: bool = True
     remat: bool = True
 

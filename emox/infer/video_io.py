@@ -1,11 +1,69 @@
-"""Video output utilities (reference magicanimate/utils/util.py:21-33
-save_videos_grid; video.py cv2 writer)."""
+"""Video IO utilities (reference magicanimate/utils/util.py:21-33
+save_videos_grid; video.py cv2 reader/writer wrapper;
+magicanimate/utils/videoreader.py PyAV reader)."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
 import numpy as np
+
+
+class VideoReader:
+    """cv2-backed reader with dims/fps/length/seek/read (capability parity
+    with reference video.py:15-103 Video and videoreader.py:31-156).
+    Yields RGB float32 frames in [-1, 1]."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        self._cv2 = cv2
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise IOError(f"cannot open video {path}")
+        self.path = path
+
+    @property
+    def fps(self) -> float:
+        return float(self.cap.get(self._cv2.CAP_PROP_FPS) or 25.0)
+
+    @property
+    def width(self) -> int:
+        return int(self.cap.get(self._cv2.CAP_PROP_FRAME_WIDTH))
+
+    @property
+    def height(self) -> int:
+        return int(self.cap.get(self._cv2.CAP_PROP_FRAME_HEIGHT))
+
+    def __len__(self) -> int:
+        return int(self.cap.get(self._cv2.CAP_PROP_FRAME_COUNT))
+
+    def seek(self, frame_index: int) -> None:
+        self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, frame_index)
+
+    def read(self) -> Optional[np.ndarray]:
+        ok, frame = self.cap.read()
+        if not ok:
+            return None
+        rgb = self._cv2.cvtColor(frame, self._cv2.COLOR_BGR2RGB)
+        return rgb.astype(np.float32) / 127.5 - 1.0
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            f = self.read()
+            if f is None:
+                return
+            yield f
+
+    def close(self) -> None:
+        self.cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def frames_to_uint8(frames: np.ndarray) -> np.ndarray:

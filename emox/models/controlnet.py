@@ -153,7 +153,7 @@ class ControlNetEncoder(nn.Module):
         for level, ch in enumerate(chans):
             for i in range(cfg.layers_per_block):
                 h, _ = fold_time(
-                    ResBlock(ch, groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode,
+                    ResBlock(ch, groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, separable=cfg.separable_convs,
                              name=f"down_{level}_res_{i}", **kw)(unfold_time(h, t), temb)
                 )
                 if level in cfg.attention_levels:
@@ -170,7 +170,7 @@ class ControlNetEncoder(nn.Module):
                 zi += 1
 
         h, _ = fold_time(
-            ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode,
+            ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, separable=cfg.separable_convs,
                      name="mid_res_0", **kw)(unfold_time(h, t), temb)
         )
         heads, head_dim = self._heads(chans[-1])
@@ -178,7 +178,7 @@ class ControlNetEncoder(nn.Module):
             heads, head_dim, depth=self.spatial_depth, groups=cfg.norm_groups, name="mid_attn", **kw
         )(h, context=ctx_frames)
         h, _ = fold_time(
-            ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode,
+            ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, separable=cfg.separable_convs,
                      name="mid_res_1", **kw)(unfold_time(h, t), temb)
         )
         mid = zero_conv(h, zi)

@@ -146,7 +146,7 @@ class UNet(nn.Module):
         skips = [h]
         for level, ch in enumerate(chans):
             for i in range(cfg.layers_per_block):
-                h, _ = fold_time(ResBlock(ch, groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name=f"down_{level}_res_{i}", **kw)(unfold_time(h, t), temb))
+                h, _ = fold_time(ResBlock(ch, groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, separable=cfg.separable_convs, name=f"down_{level}_res_{i}", **kw)(unfold_time(h, t), temb))
                 if level in cfg.attention_levels:
                     h = attn_stack(h, ch, f"down_{level}_{i}")
                 skips.append(h)
@@ -161,9 +161,9 @@ class UNet(nn.Module):
             skips = [s + r for s, r in zip(skips, control.down)]
 
         # ---- mid ---------------------------------------------------------
-        h, _ = fold_time(ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name="mid_res_0", **kw)(unfold_time(h, t), temb))
+        h, _ = fold_time(ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, separable=cfg.separable_convs, name="mid_res_0", **kw)(unfold_time(h, t), temb))
         h = attn_stack(h, chans[-1], "mid")
-        h, _ = fold_time(ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name="mid_res_1", **kw)(unfold_time(h, t), temb))
+        h, _ = fold_time(ResBlock(chans[-1], groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, separable=cfg.separable_convs, name="mid_res_1", **kw)(unfold_time(h, t), temb))
         if control is not None:
             h = h + control.mid
 
@@ -171,7 +171,7 @@ class UNet(nn.Module):
         for level, ch in reversed(list(enumerate(chans))):
             for i in range(cfg.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h, _ = fold_time(ResBlock(ch, groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, name=f"up_{level}_res_{i}", **kw)(unfold_time(h, t), temb))
+                h, _ = fold_time(ResBlock(ch, groups=cfg.norm_groups, temb_mode=cfg.resnet_temb_mode, separable=cfg.separable_convs, name=f"up_{level}_res_{i}", **kw)(unfold_time(h, t), temb))
                 if level in cfg.attention_levels:
                     h = attn_stack(h, ch, f"up_{level}_{i}")
             if level > 0:

@@ -58,20 +58,39 @@ class ResBlock(nn.Module):
     Equivalent capability to reference ResnetBlock3D
     (reference magicanimate/models/resnet.py:113-207) with
     time_embedding_norm="scale_shift" semantics.
+
+    separable=True swaps each 3x3 for depthwise-3x3 + pointwise-1x1 (the
+    working version of the reference's abandoned depthwise experiment,
+    reference depthwise.py:6-101 — dead code with a syntax error there;
+    ~8x fewer conv FLOPs at some quality cost).
     """
 
     out_channels: int
     groups: int = 32
     temb_mode: str = "scale_shift"  # or "add" (SD-1.5 convention)
+    separable: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+
+    def _conv3x3(self, ch: int, name: str):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if not self.separable:
+            return nn.Conv(ch, (3, 3), name=name, **kw)
+
+        def sep(h):
+            h = nn.Conv(
+                h.shape[-1], (3, 3), feature_group_count=h.shape[-1], name=f"{name}_dw", **kw
+            )(h)
+            return nn.Conv(ch, (1, 1), name=f"{name}_pw", **kw)(h)
+
+        return sep
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         was_4d = x.ndim == 4
         xf, t = fold_time(x)
         h = FusedGroupNorm(self.groups, silu=True, param_dtype=self.param_dtype, name="norm1")(xf)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, param_dtype=self.param_dtype, name="conv1")(h)
+        h = self._conv3x3(self.out_channels, "conv1")(h)
         if temb is not None:
             # temb [B, D] (repeated over frames) or [(B T), D] (per-frame,
             # e.g. with per-frame speed embeddings added)
@@ -92,7 +111,7 @@ class ResBlock(nn.Module):
                 h = FusedGroupNorm(self.groups, silu=True, param_dtype=self.param_dtype, name="norm2")(h)
         else:
             h = FusedGroupNorm(self.groups, silu=True, param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, param_dtype=self.param_dtype, name="conv2")(h)
+        h = self._conv3x3(self.out_channels, "conv2")(h)
         if xf.shape[-1] != self.out_channels:
             xf = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="skip")(xf)
         out = xf + h

@@ -186,3 +186,21 @@ class TestAugment:
         item = ds.sample(np.random.default_rng(0))
         assert item["frames"].shape[0] == 2
         assert np.abs(item["frames"]).max() <= 1.0
+
+
+class TestVideoReader:
+    def test_reader_roundtrip(self, tmp_path):
+        pytest.importorskip("cv2")
+        from emox.infer.video_io import VideoReader, save_video
+
+        frames = (np.random.default_rng(0).random((5, 32, 32, 3)) * 2 - 1).astype(np.float32)
+        path = str(tmp_path / "clip.mp4")
+        out = save_video(frames, path, fps=10.0)
+        if not out.endswith(".mp4"):
+            pytest.skip("no mp4 encoder available")
+        with VideoReader(out) as vr:
+            assert vr.width == 32 and vr.height == 32
+            assert abs(vr.fps - 10.0) < 0.5
+            got = list(vr)
+        assert len(got) == 5
+        assert got[0].shape == (32, 32, 3)

@@ -145,3 +145,22 @@ class TestSparseCausal:
         st1 = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True, num_frames=1)
         out_b, _ = st1.apply(p, x)  # t=1 -> no gather
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+class TestSeparableResBlock:
+    def test_separable_fewer_params_same_shapes(self):
+        import jax
+        import jax.numpy as jnp
+        from emox.nn.blocks import ResBlock
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+        temb = jnp.zeros((2, 32))
+        dense = ResBlock(16, groups=4)
+        sep = ResBlock(16, groups=4, separable=True)
+        pd = dense.init(jax.random.PRNGKey(1), x, temb)
+        ps = sep.init(jax.random.PRNGKey(1), x, temb)
+        out = sep.apply(ps, x, temb)
+        assert out.shape == x.shape
+        n_dense = sum(v.size for v in jax.tree.leaves(pd))
+        n_sep = sum(v.size for v in jax.tree.leaves(ps))
+        assert n_sep < n_dense
