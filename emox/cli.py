@@ -78,11 +78,16 @@ def cmd_precompute(args) -> int:
 
 
 def cmd_train(args) -> int:
+    from emox.comm.runtime import initialize_distributed
     from emox.core.config import save_config
     from emox.data.dataset import DataLoader, EMODataset
     from emox.train.stages import STAGE_DESCRIPTIONS
     from emox.train.trainer import Trainer
 
+    if args.coordinator or args.num_processes:
+        info = initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+        print(f"process {info.process_index}/{info.process_count}, "
+              f"{info.local_devices} local / {info.global_devices} global devices")
     cfg = _load_config(args)
     stage = cfg.train.stage
     stage_name = {0: "stage0-facelocator", 1: "stage1", 2: "stage2", 3: "stage3", 4: "stage4-control"}[stage]
@@ -302,6 +307,11 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--stage", type=int, choices=(0, 1, 2, 3, 4))
     pt.add_argument("--config", default=None, help="YAML config path")
     pt.add_argument("--from-stage", type=int, default=None, help="init from this stage's checkpoint")
+    # multi-host bootstrap (replaces the reference's torch.multiprocessing
+    # spawn + NCCL TCP rendezvous, reference animation.py:256-271)
+    pt.add_argument("--coordinator", default=None, help="coordinator address host:port (multi-host)")
+    pt.add_argument("--num-processes", type=int, default=None)
+    pt.add_argument("--process-id", type=int, default=None)
     pt.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL", help="config overrides")
     pt.set_defaults(fn=cmd_train)
 

@@ -86,8 +86,8 @@ def _flash_impl(
     k: jax.Array,
     v: jax.Array,
     scale: float,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 0,
+    block_k: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     b, h, lq, d = q.shape
@@ -95,6 +95,13 @@ def _flash_impl(
     bh = b * h
 
     dp = _round_up(d, _LANE)
+    # Block sizes swept on v5e (lq=1024/lk=2048 ref-attn and lq=4096/lk=8192
+    # 512px shapes): bk=1024 dominates bk=256 by 27-44%; bq=256 for short
+    # queries, 512 for long.
+    if block_q <= 0:
+        block_q = 256 if lq <= 1024 else 512
+    if block_k <= 0:
+        block_k = 1024
     block_q = min(block_q, _round_up(lq, 16))
     block_k = min(block_k, _round_up(lk, 16))
     lq_pad = _round_up(lq, block_q)
