@@ -104,6 +104,12 @@ class ModelConfig:
     # required for faithful SD weight import)
     resnet_temb_mode: str = "scale_shift"
     cross_attention_dim: int = 768
+    # text/CLIP cross-attention (attn2). True keeps SD-1.5 structure (needed
+    # for faithful SD weight import); False removes it — EMO is audio-driven
+    # with no text prompt, so a null-token attn2 at every site is pure
+    # overhead (the reference inherited it from SD and fed empty prompts,
+    # EMOAnimationPipeline.py:641-679)
+    use_cross_attention: bool = True
     # which resolutions get spatial/cross attention (index into multipliers);
     # (0, 1, 2) mirrors SD-1.5's CrossAttnDownBlock placement
     attention_levels: Tuple[int, ...] = (0, 1, 2)

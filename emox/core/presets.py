@@ -18,6 +18,9 @@ def flagship_config(image_size: int = 256, num_frames: int = 16) -> Config:
             base_channels=320, channel_multipliers=(1, 2, 4, 4), layers_per_block=2,
             attention_head_dim=64, cross_attention_dim=768, attention_levels=(0, 1, 2),
             audio_context_dim=768,
+            # audio-driven: no text prompt, so no attn2 (the reference fed
+            # empty prompts through SD's text cross-attention)
+            use_cross_attention=False,
         ),
         audio=AudioConfig(hidden_dim=768, num_layers=12, num_heads=12, conv_dim=512),
         data=DataConfig(width=image_size, height=image_size, num_frames=num_frames),

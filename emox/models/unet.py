@@ -98,7 +98,7 @@ class UNet(nn.Module):
                 temb_dim, cfg.num_speed_buckets, cfg.speed_bucket_radius, name="speed_embed", **kw
             )(sp.reshape(b * t, 1))
             temb = jnp.repeat(temb, t, axis=0) + spe  # [(B T), D] per-frame
-        if context is None and cfg.attention_levels:
+        if context is None and cfg.attention_levels and cfg.use_cross_attention:
             null = self.param("null_context", nn.initializers.normal(0.02), (1, 1, cfg.cross_attention_dim), self.param_dtype)
             context = jnp.broadcast_to(null, (b, 1, cfg.cross_attention_dim)).astype(self.dtype)
         ctx_frames = None if context is None else jnp.repeat(context, t, axis=0)
@@ -125,6 +125,7 @@ class UNet(nn.Module):
             h, bank = ST(
                 heads, head_dim, depth=self.spatial_depth,
                 groups=cfg.norm_groups, sparse_causal=cfg.use_sparse_causal,
+                use_cross=cfg.use_cross_attention,
                 num_frames=1 if emit_ref else t, name=f"{name}_attn", **kw,
             )(h, context=ctx_frames, ref_kv=rkv)
             if emit_ref:
