@@ -45,6 +45,11 @@ def main() -> None:
     params = jax.jit(lambda k: model.init_params(k, num_frames=num_frames, image_size=image_size))(
         jax.random.PRNGKey(0)
     )
+    # serving-style bf16 weights: cast once instead of converting 2.2 GB of
+    # fp32 params to bf16 inside every step (training keeps fp32 masters)
+    params = jax.jit(lambda p: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p
+    ))(params)
     jax.block_until_ready(params)
     lat = image_size // cfg.vae.downscale
 
