@@ -1,0 +1,111 @@
+"""Overfit one clip end-to-end — the reference's declared dev strategy
+(reference README.md:119-121, data/overfit.json): train every stage on a
+single clip until the model reproduces it, then sample from frame 1 + audio.
+
+Runs on any backend (CPU is fine at the default tiny scale; pass
+--preset small on a TPU chip). Uses a synthetic fixture clip unless
+--video points at a real mp4.
+
+    python examples/overfit_one_clip.py --steps 200 --out overfit.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--video", default=None, help="mp4/npz clip (default: synthetic fixture)")
+    ap.add_argument("--steps", type=int, default=200, help="train steps per stage")
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--out", default="overfit_sample.npz")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emox.core.config import (
+        AudioConfig, Config, DataConfig, InferenceConfig, MeshConfig, ModelConfig, TrainConfig, VAEConfig,
+    )
+    from emox.data.dataset import DataLoader, EMODataset
+    from emox.data.precompute import precompute_clip
+    from emox.infer.pipeline import EMOPipeline
+    from emox.infer.video_io import save_video
+    from emox.models.emo import EMOModel
+    from emox.train.trainer import Trainer
+
+    work = args.workdir or tempfile.mkdtemp(prefix="emox_overfit_")
+    cache = os.path.join(work, "cache")
+    os.makedirs(cache, exist_ok=True)
+
+    src = args.video
+    if src is None:
+        from emox.data.fixtures import write_fixture_dataset
+
+        vdir = os.path.join(work, "videos")
+        write_fixture_dataset(vdir, num_clips=1, num_frames=max(8, 2 * args.frames), size=args.size)
+        src = os.path.join(vdir, os.listdir(vdir)[0].replace(".json", ""))
+        src = next(os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".npz"))
+    precompute_clip(src, os.path.join(cache, "clip.npz"), width=args.size, height=args.size)
+
+    s = args.size
+    cfg = Config(
+        vae=VAEConfig(base_channels=16, channel_multipliers=(1, 2), num_res_blocks=1, norm_groups=8),
+        model=ModelConfig(
+            base_channels=16, channel_multipliers=(1, 2), layers_per_block=1, norm_groups=8,
+            attention_head_dim=8, cross_attention_dim=16, attention_levels=(1,),
+            audio_context_dim=32, use_cross_attention=False,
+        ),
+        audio=AudioConfig(hidden_dim=32, num_layers=1, num_heads=2, conv_dim=16),
+        mesh=MeshConfig(data=1, context=1, model=1),
+        data=DataConfig(width=s, height=s, num_frames=args.frames, batch_size=1, cache_dir=cache),
+        train=TrainConfig(
+            stage=1, num_steps=args.steps, learning_rate=2e-3, log_every=max(1, args.steps // 10),
+            checkpoint_every=args.steps, checkpoint_dir=os.path.join(work, "ckpt"),
+            compute_dtype="float32",
+        ),
+        inference=InferenceConfig(
+            context_frames=max(8, args.frames), video_length=args.frames, width=s, height=s,
+            num_inference_steps=20, guidance_scale=1.5,
+        ),
+    )
+
+    # stage 1: spatial denoising on single frames
+    t1 = Trainer(cfg)
+    ds1 = EMODataset(cache, "stage1", num_frames=args.frames, ref_mode="first")
+    m1 = t1.fit(DataLoader(ds1, batch_size=1, seed=0), num_steps=args.steps)
+    print(f"stage1 final loss {m1['loss']:.4f}")
+
+    # stage 2: temporal + audio on clips, init from stage 1
+    cfg2 = cfg.replace(train=dataclasses.replace(cfg.train, stage=2, learning_rate=1e-3))
+    t2 = Trainer(cfg2, init_params=t1.state.params)
+    ds2 = EMODataset(cache, "stage2", num_frames=args.frames, ref_mode="first")
+    m2 = t2.fit(DataLoader(ds2, batch_size=1, seed=0), num_steps=args.steps)
+    print(f"stage2 final loss {m2['loss']:.4f}")
+
+    # sample: first frame + the clip's own audio
+    clip = dict(np.load(os.path.join(cache, "clip.npz")))
+    ref = jnp.asarray(clip["frames"][0][None])
+    sr = 16000
+    wav = jnp.asarray(clip["wav"][: int(args.frames / 25.0 * sr)][None])
+    pipe = EMOPipeline(EMOModel(cfg2), cfg2)
+    frames = pipe(t2.state.params, ref, wav, video_length=args.frames)
+    out = save_video(np.asarray(frames[0]), args.out, fps=25.0, wav=np.asarray(wav[0]))
+    target = clip["frames"][: args.frames]
+    mse = float(np.mean((np.asarray(frames[0]) - target) ** 2))
+    print(f"wrote {out}; pixel MSE vs source clip: {mse:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
