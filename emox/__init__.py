@@ -19,7 +19,9 @@ video via latent video diffusion with
     (cf. reference magicanimate/pipelines/context.py).
 
 Layout convention: images are NHWC, video tensors are [B, T, H, W, C]
-(TPU-native), and all attention runs through one blockwise Pallas kernel.
+(TPU-native), and all attention routes through one dispatcher that picks
+the blockwise Pallas flash kernel or XLA's fused attention per call site
+from on-chip measurements (emox.ops.attention).
 """
 
 __version__ = "0.1.0"

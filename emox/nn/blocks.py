@@ -34,7 +34,9 @@ def unfold_time(x: jax.Array, t: int) -> jax.Array:
 
 
 class FusedGroupNorm(nn.Module):
-    """GroupNorm(+SiLU) over NHWC feature maps via the fused Pallas kernel."""
+    """GroupNorm(+SiLU) over NHWC feature maps via emox.ops.group_norm
+    (XLA-fused x*a+b formulation by default — measured faster than the
+    standalone Pallas kernel on v5e; EMOX_GROUPNORM_IMPL overrides)."""
 
     groups: int = 32
     eps: float = 1e-5
