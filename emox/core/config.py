@@ -127,6 +127,10 @@ class ModelConfig:
     use_speed: bool = True
     num_speed_buckets: int = 9  # reference train_stage_3_speedlayers.py:31-32
     speed_bucket_radius: float = 0.1
+    # 1: scalar ||d pose|| speed; 3: signed per-axis (pitch, yaw, roll)
+    # velocities — the reference buckets each axis (vector input,
+    # reference Net.py:248-258), which preserves head-turn direction
+    speed_axes: int = 1
     # face-region mask conv encoder added at conv_in
     # (reference Net.py:819-855 FaceLocator, Net.py:591-605 FaceRegionController)
     use_face_mask: bool = True
@@ -154,6 +158,34 @@ class ModelConfig:
     @property
     def block_channels(self) -> Tuple[int, ...]:
         return tuple(self.base_channels * m for m in self.channel_multipliers)
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    """CLIP text/image encoders (reference loads CLIPTextModel for prompt
+    embeddings, magicanimate/pipelines/animation.py:76 /
+    pipeline_animation.py:184-271, and CLIPVisionModelWithProjection as the
+    EMO image encoder, EMOAnimationPipeline.py:867). Disabled by default —
+    the EMO flagship is audio-driven — and enabled for MagicAnimate-style
+    prompt-conditioned runs and identity-embedding conditioning.
+
+    Defaults mirror openai/clip-vit-large-patch14, the encoder SD-1.5 ships."""
+
+    text_enabled: bool = False
+    vision_enabled: bool = False
+    vocab_size: int = 49408
+    text_hidden_dim: int = 768
+    text_layers: int = 12
+    text_heads: int = 12
+    max_positions: int = 77
+    vision_hidden_dim: int = 1024
+    vision_layers: int = 24
+    vision_heads: int = 16
+    image_size: int = 224
+    patch_size: int = 14
+    projection_dim: int = 768
+    # "quick_gelu" (openai CLIP / SD-1.5) or "gelu" (newer LAION CLIPs)
+    hidden_act: str = "quick_gelu"
 
 
 @dataclass(frozen=True)
@@ -220,6 +252,11 @@ class TrainConfig:
 
     stage: int = 1
     learning_rate: float = 1e-4
+    # "adamw" (default) or "adafactor" — factored second moment, no first
+    # moment: ~2 bytes/param of optimizer state instead of 8. Required to
+    # train the full 1.7B-param spatial stack (stage 1) at 512^2 on a single
+    # 16 GB chip; multi-chip runs can keep adamw and shard the state.
+    optimizer: str = "adamw"
     weight_decay: float = 1e-2
     adam_b1: float = 0.9
     adam_b2: float = 0.999
@@ -270,6 +307,7 @@ _SECTIONS = {
     "vae": VAEConfig,
     "audio": AudioConfig,
     "model": ModelConfig,
+    "clip": CLIPConfig,
     "diffusion": DiffusionConfig,
     "mesh": MeshConfig,
     "data": DataConfig,
@@ -285,6 +323,7 @@ class Config:
     vae: VAEConfig = field(default_factory=VAEConfig)
     audio: AudioConfig = field(default_factory=AudioConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
+    clip: CLIPConfig = field(default_factory=CLIPConfig)
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     data: DataConfig = field(default_factory=DataConfig)

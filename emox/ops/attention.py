@@ -10,9 +10,14 @@ Shapes: q [B, H, Lq, D], k/v [B, H, Lk, D] with Lk independent of Lq
 (cross-attention) and arbitrary D (padded to the 128-lane MXU width inside
 the wrapper; zero-padding the head dim is exact for both q@k^T and p@v).
 
-Backward pass: custom_vjp whose bwd recomputes attention via the XLA
-reference implementation (flash recompute strategy — no O(Lq*Lk) residuals
-are saved between fwd and bwd).
+Backward pass: custom_vjp with Pallas dq and dk/dv kernels that recompute
+the score blocks from the saved (q, k, v, o, logsumexp) residuals — the
+standard flash-attention backward. No O(Lq*Lk) tensor is ever materialised
+in HBM in either direction, which is what makes training at the reference's
+512x512 resolution possible (reference configs/training/stage1.yaml
+train_width/height: 512; its CUDA equivalent is xformers'
+memory_efficient_attention backward, reference
+magicanimate/models/orig_attention.py:729-737).
 """
 
 from __future__ import annotations
@@ -51,34 +56,146 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[floa
     return out.astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, lk: int, block_k: int, lk_pad: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, Dp)
-    block_q, dp = q.shape
-    num_kb = lk_pad // block_k
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, scale: float, lk: int, block_k: int,
+):
+    """One (bh, q-block, kv-block) grid cell of the forward.
 
-    def body(i, carry):
-        acc, m, l = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # (bk, Dp)
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk)
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
-        s = jnp.where(col < lk, s, _NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc_new, m_new, l_new
+    The kv dimension is the FASTEST grid axis: pallas streams K/V blocks
+    through VMEM (double-buffered) while the online-softmax state lives in
+    VMEM scratch across kv steps — full K/V never sits in VMEM at once
+    (a [4096, 512] VAE-attention K/V previously blew the 16 MB budget).
+    """
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
 
-    acc0 = jnp.zeros((block_q, dp), jnp.float32)
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, Dp)
+    block_q = q.shape[0]
+    kblk = k_ref[0].astype(jnp.float32)  # (bk, Dp)
+    vblk = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+    s = jnp.where(col < lk, s, _NEG_INF)
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        l_safe = jnp.maximum(l_ref[:, :1], 1e-20)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_ref[:, :1] + jnp.log(l_safe))[:, 0]
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc_ref,
+    *, scale: float, lk: int, block_k: int,
+):
+    """dq grid cell (bh, q-block, kv-block): streams K/V, accumulates dq in
+    VMEM scratch. Recomputes p = exp(s - lse) blockwise, then
+    ds = p * (do @ v^T - delta); dq = scale * ds @ k.
+    """
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, Dp)
+    do = do_ref[0].astype(jnp.float32)  # (bq, Dp)
+    lse = lse_ref[0, 0][:, None]  # (bq, 1)
+    delta = delta_ref[0, 0][:, None]  # (bq, 1)
+    block_q = q.shape[0]
+    kblk = k_ref[0].astype(jnp.float32)  # (bk, Dp)
+    vblk = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    p = jnp.exp(s - lse)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+    p = jnp.where(col < lk, p, 0.0)
+    dp_ = jax.lax.dot_general(
+        do, vblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    ds = p * (dp_ - delta)
+    dq_acc_ref[:] = dq_acc_ref[:] + jax.lax.dot_general(
+        ds, kblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        dq_ref[0] = (dq_acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc_ref, dv_acc_ref,
+    *, scale: float, lk: int, block_q: int, block_k: int,
+):
+    """dk/dv grid cell (bh, kv-block, q-block): streams Q/dO blocks with
+    dk/dv accumulated in VMEM scratch.
+
+    dv = p^T @ do ; ds = p * (do @ v^T - delta) ; dk = scale * ds^T @ q.
+    Padded q rows contribute nothing because do/delta are zero-padded there.
+    Padded kv rows are masked so p = 0 (matching the forward's -inf mask).
+    """
+    qb_i = pl.program_id(2)
+    num_qb = pl.num_programs(2)
+
+    @pl.when(qb_i == 0)
+    def _():
+        dk_acc_ref[:] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[:] = jnp.zeros_like(dv_acc_ref)
+
+    k = k_ref[0].astype(jnp.float32)  # (bk, Dp)
+    v = v_ref[0].astype(jnp.float32)
+    kv_base = pl.program_id(1) * block_k
+    col_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_base
+    ) < lk
+
+    qb = q_ref[0].astype(jnp.float32) * scale  # (bq, Dp)
+    dob = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]  # (bq, 1)
+    delta = delta_ref[0, 0][:, None]
+    s = jax.lax.dot_general(
+        qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    p = jnp.where(col_valid, jnp.exp(s - lse), 0.0)
+    dv_acc_ref[:] = dv_acc_ref[:] + jax.lax.dot_general(
+        p, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, Dp)
+    dp_ = jax.lax.dot_general(
+        dob, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    ds = p * (dp_ - delta)
+    # qb is pre-scaled by `scale`, so ds^T @ qb carries the one required factor
+    dk_acc_ref[:] = dk_acc_ref[:] + jax.lax.dot_general(
+        ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, Dp)
+
+    @pl.when(qb_i == num_qb - 1)
+    def _():
+        dk_ref[0] = dk_acc_ref[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc_ref[:].astype(dv_ref.dtype)
 
 
 def _flash_impl(
@@ -89,7 +206,8 @@ def _flash_impl(
     block_q: int = 0,
     block_k: int = 0,
     interpret: bool = False,
-) -> jax.Array:
+    return_lse: bool = False,
+):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     bh = b * h
@@ -115,20 +233,33 @@ def _flash_impl(
     vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, dp - d)))
 
     num_qb = lq_pad // block_q
+    num_kb = lk_pad // block_k
     mem = dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, lk=lk, block_k=block_k, lk_pad=lk_pad
-    )
-    out = pl.pallas_call(
+    if not _HAS_PLTPU:  # pragma: no cover — exotic CPU-only builds
+        raise RuntimeError("pallas TPU memory spaces unavailable; use impl='xla'")
+    scratch = [
+        pltpu.VMEM((block_q, dp), jnp.float32),
+        pltpu.VMEM((block_q, _LANE), jnp.float32),
+        pltpu.VMEM((block_q, _LANE), jnp.float32),
+    ]
+    kernel = functools.partial(_flash_kernel, scale=scale, lk=lk, block_k=block_k)
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, dp), q.dtype),
-        grid=(bh, num_qb),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq_pad, dp), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
+        ),
+        grid=(bh, num_qb, num_kb),
         in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0), **mem),
-            pl.BlockSpec((1, lk_pad, dp), lambda i, j: (i, 0, 0), **mem),
-            pl.BlockSpec((1, lk_pad, dp), lambda i, j: (i, 0, 0), **mem),
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0), **mem),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0), **mem),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0), **mem),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0), **mem),
+        out_specs=(
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0), **mem),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j), **mem),
+        ),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * lq * lk * d,
             bytes_accessed=2 * bh * (lq + 2 * lk) * d,
@@ -136,7 +267,123 @@ def _flash_impl(
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out[:, :lq, :d].reshape(b, h, lq, d)
+    out = out[:, :lq, :d].reshape(b, h, lq, d)
+    if return_lse:
+        return out, lse  # lse stays q-padded: (bh, 1, lq_pad)
+    return out
+
+
+def _flash_bwd_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    lse: jax.Array,
+    g: jax.Array,
+    scale: float,
+    block_q: int = 0,
+    block_k: int = 0,
+    interpret: bool = False,
+):
+    """Flash backward: Pallas dq kernel + Pallas dk/dv kernel.
+
+    `lse` arrives q-padded from the forward, (bh, lq_pad_fwd); it is re-padded
+    here if the backward picks a different block size. Padded q rows carry
+    zero dO/delta so they contribute nothing; padded kv rows are masked.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bh = b * h
+
+    dp = _round_up(d, _LANE)
+    if block_q <= 0:
+        block_q = 256 if lq <= 1024 else 512
+    if block_k <= 0:
+        block_k = 512
+    block_q = min(block_q, _round_up(lq, 16))
+    block_k = min(block_k, _round_up(lk, 16))
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    qf = jnp.pad(q.reshape(bh, lq, d), ((0, 0), (0, lq_pad - lq), (0, dp - d)))
+    kf = jnp.pad(k.reshape(bh, lk, d), ((0, 0), (0, lk_pad - lk), (0, dp - d)))
+    vf = jnp.pad(v.reshape(bh, lk, d), ((0, 0), (0, lk_pad - lk), (0, dp - d)))
+    gf = jnp.pad(g.reshape(bh, lq, d), ((0, 0), (0, lq_pad - lq), (0, dp - d)))
+    # delta_i = sum_d dO_id * O_id — a cheap fused elementwise reduce in XLA
+    delta = jnp.sum(
+        g.reshape(bh, lq, d).astype(jnp.float32) * o.reshape(bh, lq, d).astype(jnp.float32),
+        axis=-1,
+    )[:, None, :]  # (bh, 1, lq)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_pad - lq)))
+    lse_q = jnp.pad(lse[:, :, :lq], ((0, 0), (0, 0), (0, lq_pad - lq)))
+
+    if not _HAS_PLTPU:  # pragma: no cover — exotic CPU-only builds
+        raise RuntimeError("pallas TPU memory spaces unavailable; use impl='xla'")
+    mem = dict(memory_space=pltpu.VMEM)
+    num_qb = lq_pad // block_q
+    num_kb = lk_pad // block_k
+
+    dq_kernel = functools.partial(_flash_bwd_dq_kernel, scale=scale, lk=lk, block_k=block_k)
+    dq = pl.pallas_call(
+        dq_kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, dp), q.dtype),
+        grid=(bh, num_qb, num_kb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0), **mem),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0), **mem),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0), **mem),
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0), **mem),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j), **mem),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j), **mem),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0), **mem),
+        scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * bh * lq * lk * d,
+            bytes_accessed=2 * bh * (2 * lq + 2 * lk) * d,
+            transcendentals=bh * lq * lk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse_q, delta)
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel, scale=scale, lk=lk, block_q=block_q, block_k=block_k
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lk_pad, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk_pad, dp), v.dtype),
+        ),
+        grid=(bh, num_kb, num_qb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda i, j, qb: (i, qb, 0), **mem),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, qb: (i, j, 0), **mem),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, qb: (i, j, 0), **mem),
+            pl.BlockSpec((1, block_q, dp), lambda i, j, qb: (i, qb, 0), **mem),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, qb: (i, 0, qb), **mem),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, qb: (i, 0, qb), **mem),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, dp), lambda i, j, qb: (i, j, 0), **mem),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, qb: (i, j, 0), **mem),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dp), jnp.float32),
+            pltpu.VMEM((block_k, dp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * lq * lk * d,
+            bytes_accessed=2 * bh * (2 * lq + 3 * lk) * d,
+            transcendentals=bh * lq * lk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse_q, delta)
+
+    dq = dq[:, :lq, :d].reshape(b, h, lq, d)
+    dk = dk[:, :lk, :d].reshape(b, h, lk, d)
+    dv = dv[:, :lk, :d].reshape(b, h, lk, d)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -145,13 +392,13 @@ def _flash(q, k, v, scale, interpret):
 
 
 def _flash_fwd(q, k, v, scale, interpret):
-    return _flash_impl(q, k, v, scale, interpret=interpret), (q, k, v)
+    o, lse = _flash_impl(q, k, v, scale, interpret=interpret, return_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(scale, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, g, scale, interpret=interpret)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

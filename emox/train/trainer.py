@@ -11,8 +11,11 @@ train_stage_{1,2,3}*.py) and their torch.save whole-module checkpoints
   * batch sharded over the mesh `data` axis, params replicated (GSPMD
     inserts the gradient psum — the DP the reference only declared via
     accelerate, EMOAnimationPipeline.py:857),
-  * optax.masked freezing per stage (reference froze modules by setting
-    requires_grad, train_stage_1_referencenet.py:92-94),
+  * structural per-stage freezing: the step differentiates and updates
+    only the trainable leaf subset, frozen leaves are stored directly in
+    compute dtype — no full-tree gradient buffer or fp32 masters for
+    frozen modules (reference froze modules by setting requires_grad,
+    train_stage_1_referencenet.py:92-94),
   * Orbax checkpoint/resume with best-eval tracking (reference
     train_stage_3_speedlayers.py:523-527).
 """
@@ -44,7 +47,15 @@ class TrainState(NamedTuple):
     ema_params: Optional[Params]
 
 
-def make_optimizer(config: Config, mask: Any) -> optax.GradientTransformation:
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    """Optimizer over the TRAINABLE leaves only.
+
+    Freezing is structural, not masked: the train step differentiates and
+    updates only the trainable subset (see Trainer._build_train_step), so
+    the frozen 90%+ of flagship params never materialise a gradient buffer
+    — the full-tree grad alone is 8.8 GB fp32 at flagship scale, which is
+    what kept 512^2 training off a 16 GB chip.
+    """
     tc = config.train
     if tc.warmup_steps > 0:
         lr = optax.warmup_cosine_decay_schedule(
@@ -52,15 +63,13 @@ def make_optimizer(config: Config, mask: Any) -> optax.GradientTransformation:
         )
     else:
         lr = tc.learning_rate
-    opt = optax.chain(
-        optax.clip_by_global_norm(tc.grad_clip_norm),
-        optax.adamw(lr, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps, weight_decay=tc.weight_decay),
-    )
-    # NB: optax.masked alone is NOT freezing — it passes the complement's
-    # gradients through untransformed. multi_transform routes frozen leaves
-    # to set_to_zero so their updates are exactly 0.
-    labels = jax.tree.map(lambda b: "train" if b else "freeze", mask)
-    opt = optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
+    if tc.optimizer == "adafactor":
+        inner = optax.adafactor(lr, weight_decay_rate=tc.weight_decay or None)
+    elif tc.optimizer == "adamw":
+        inner = optax.adamw(lr, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps, weight_decay=tc.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {tc.optimizer!r}")
+    opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), inner)
     # failure containment: a non-finite grad (bf16 overflow, bad batch)
     # skips the update instead of poisoning params (the reference's only
     # guard was AMP GradScaler skip, train_stage_3_speedlayers.py:432-440)
@@ -178,8 +187,13 @@ class Trainer:
         from emox.core.dtypes import policy_from_names
 
         self.policy = policy_from_names(tc.param_dtype, tc.compute_dtype)
-        self.model = model or EMOModel(config, dtype=self.policy.compute_dtype)
         self.mesh = mesh if mesh is not None else create_mesh(config.mesh)
+        if model is None:
+            # frame-axis sequence parallelism: with a context axis the
+            # temporal attention runs as ring attention over it
+            ring_mesh = self.mesh if self.mesh.shape.get(MeshAxes.CONTEXT, 1) > 1 else None
+            model = EMOModel(config, dtype=self.policy.compute_dtype, mesh=ring_mesh)
+        self.model = model
         self.sched = make_schedule(config.diffusion)
         self.stage = tc.stage
         self.loss_fn = stage_loss_fn(self.model, config, self.sched, self.stage)
@@ -193,11 +207,14 @@ class Trainer:
                 )
             )(jax.random.PRNGKey(tc.seed))
         self.mask = trainable_mask(init_params, self.stage)
-        self.opt = make_optimizer(config, self.mask)
+        self._mask_leaves = jax.tree.leaves(self.mask)
+        self.opt = make_optimizer(config)
 
         rep = NamedSharding(self.mesh, P())
-        params = jax.device_put(init_params, rep)
-        opt_state = jax.jit(self.opt.init, out_shardings=rep)(params)
+        params = jax.device_put(jax.jit(self._place_params)(init_params), rep)
+        opt_state = jax.jit(
+            lambda p: self.opt.init(self._trainable_leaves(p)), out_shardings=rep
+        )(params)
         ema = params if tc.ema_decay > 0 else None
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, ema_params=ema)
 
@@ -209,20 +226,51 @@ class Trainer:
         self._eval_step = jax.jit(lambda params, batch, key: self.loss_fn(
             self.policy.cast_to_compute(params), batch, key))
 
+    def _place_params(self, params: Params) -> Params:
+        """Memory placement: trainable leaves in param dtype (fp32 masters),
+        frozen leaves directly in compute dtype (they are only ever read by
+        the compute-dtype forward, so fp32 masters for them are pure waste —
+        4.4 GB at flagship scale)."""
+
+        def place(p, m):
+            if not isinstance(p, jax.Array) or not jnp.issubdtype(p.dtype, jnp.floating):
+                return p
+            return p.astype(self.policy.param_dtype if m else self.policy.compute_dtype)
+
+        return jax.tree.map(place, params, self.mask)
+
+    def _trainable_leaves(self, params: Params):
+        return [p for p, m in zip(jax.tree.leaves(params), self._mask_leaves) if m]
+
     def _build_train_step(self):
         tc = self.config.train
         data_sharding = NamedSharding(self.mesh, P(MeshAxes.DATA))
         rep = NamedSharding(self.mesh, P())
+        mask_leaves = self._mask_leaves
 
         def step_fn(state: TrainState, batch: Dict, key: jax.Array):
-            def loss_wrapped(params):
-                cparams = self.policy.cast_to_compute(params)
+            leaves, treedef = jax.tree.flatten(state.params)
+            train = [p for p, m in zip(leaves, mask_leaves) if m]
+            frozen = [p for p, m in zip(leaves, mask_leaves) if not m]
+
+            def merge(train_leaves):
+                it_t, it_f = iter(train_leaves), iter(frozen)
+                return jax.tree.unflatten(
+                    treedef, [next(it_t) if m else next(it_f) for m in mask_leaves]
+                )
+
+            def loss_wrapped(train_leaves):
+                # frozen leaves already live in compute dtype (no-op cast);
+                # only the trainable masters are cast here
+                cparams = self.policy.cast_to_compute(merge(train_leaves))
                 return self.loss_fn(cparams, batch, key)
 
-            (loss, metrics), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(state.params)
+            # grads ONLY over the trainable subset — no full-tree grad buffer
+            (loss, metrics), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(train)
             grads = self.policy.cast_to_param(grads)
-            updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
+            updates, opt_state = self.opt.update(grads, state.opt_state, train)
+            new_train = optax.apply_updates(train, updates)
+            params = merge(new_train)
             ema = state.ema_params
             if ema is not None:
                 d = tc.ema_decay
@@ -247,8 +295,15 @@ class Trainer:
         if params is None:
             return False
         rep = NamedSharding(self.mesh, P())
-        params = jax.device_put(jax.tree.map(jnp.asarray, params), rep)
-        self.state = self.state._replace(params=params, opt_state=jax.jit(self.opt.init, out_shardings=rep)(params))
+        params = jax.device_put(
+            jax.jit(lambda p: self._place_params(jax.tree.map(jnp.asarray, p)))(params), rep
+        )
+        self.state = self.state._replace(
+            params=params,
+            opt_state=jax.jit(
+                lambda p: self.opt.init(self._trainable_leaves(p)), out_shardings=rep
+            )(params),
+        )
         return True
 
     def evaluate(self, batches: Iterable[Dict], num_batches: int = 8) -> Dict[str, float]:

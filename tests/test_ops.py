@@ -55,6 +55,47 @@ class TestFlashAttention:
         for gf, gr in zip(g_flash, g_ref):
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize(
+        "b,h,lq,lk,d",
+        [
+            (1, 2, 64, 64, 32),     # self-attn
+            (2, 2, 100, 52, 64),    # non-multiple lengths both axes (padding masks)
+            (1, 2, 48, 300, 64),    # cross-attn, long kv
+            (1, 1, 64, 64, 80),     # head dim needs lane padding
+        ],
+    )
+    def test_grad_matches_xla(self, b, h, lq, lk, d):
+        """Pallas flash backward (dq/dk/dv kernels) vs the XLA attention VJP."""
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+        q = jax.random.normal(k1, (b, h, lq, d), jnp.float32)
+        k = jax.random.normal(k2, (b, h, lk, d), jnp.float32)
+        v = jax.random.normal(k3, (b, h, lk, d), jnp.float32)
+        ct = jax.random.normal(k4, (b, h, lq, d), jnp.float32)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) * ct)
+
+        g_flash = jax.grad(loss(lambda *a: flash_attention(*a, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(attention_xla), argnums=(0, 1, 2))(q, k, v)
+        for gf, gr in zip(g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=2e-4)
+
+    def test_grad_bf16(self):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(k1, (1, 2, 64, 64), jnp.bfloat16)
+        k = jax.random.normal(k2, (1, 2, 64, 64), jnp.bfloat16)
+        v = jax.random.normal(k3, (1, 2, 64, 64), jnp.bfloat16)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+
+        g_flash = jax.grad(loss(lambda *a: flash_attention(*a, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(attention_xla), argnums=(0, 1, 2))(q, k, v)
+        for gf, gr in zip(g_flash, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(gf, np.float32), np.asarray(gr, np.float32), atol=0.15, rtol=0.1
+            )
+
     def test_dispatch_env(self, monkeypatch):
         monkeypatch.setenv("EMOX_ATTENTION_IMPL", "xla")
         q = jnp.ones((1, 1, 8, 8))
