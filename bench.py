@@ -77,7 +77,8 @@ def main() -> None:
         jnp.array([500], jnp.int32),
         ref_latent,
         audio,
-        jnp.zeros((1, num_frames), jnp.bfloat16),
+        jnp.zeros((1, num_frames, cfg.model.speed_axes), jnp.bfloat16)
+        if cfg.model.speed_axes > 1 else jnp.zeros((1, num_frames), jnp.bfloat16),
         jnp.ones((1, image_size, image_size, 1), jnp.bfloat16),
     )
     # Sync via a host scalar fetch, NOT block_until_ready: over the axon

@@ -68,8 +68,29 @@ def _load_config(args) -> "Config":
 def cmd_precompute(args) -> int:
     from emox.data.precompute import precompute_dataset
 
+    face_helper = None
+    if getattr(args, "face_ckpt", None):
+        # trained stage-0 FaceLocator + FaceLandmarkNet replace MediaPipe as
+        # the mask/pose provider (reference Net.py:861-1156 FaceHelper)
+        from emox.core.config import load_config
+        from emox.data.face import FaceHelper
+        from emox.models.emo import EMOModel
+        from emox.train.trainer import Checkpointer
+
+        cfg = load_config(args.config) if getattr(args, "config", None) else None
+        if cfg is None:
+            from emox.core.config import Config
+
+            cfg = Config()
+        params = Checkpointer(args.face_ckpt).restore_params()
+        if params is None:
+            raise SystemExit(f"no checkpoint under {args.face_ckpt}")
+        face_helper = FaceHelper.from_model(EMOModel(cfg), params)
+        print(f"face provider: trained stage-0 nets from {args.face_ckpt}")
+
     man = precompute_dataset(
-        args.metadata, args.videos, args.cache, width=args.width, height=args.height, fps=args.fps
+        args.metadata, args.videos, args.cache, width=args.width, height=args.height, fps=args.fps,
+        face_helper=face_helper,
     )
     with open(man) as f:
         n = len(json.load(f))
@@ -108,7 +129,7 @@ def cmd_train(args) -> int:
     ds = EMODataset(
         cfg.data.cache_dir, stage_name, num_frames=cfg.data.num_frames,
         audio_context_frames=cfg.audio.context_frames, sample_rate=cfg.audio.sample_rate,
-        fps=cfg.audio.video_fps,
+        fps=cfg.audio.video_fps, speed_axes=cfg.model.speed_axes,
     )
     dl = DataLoader(ds, batch_size=cfg.data.batch_size, seed=cfg.data.seed)
     metrics = trainer.fit(dl)
@@ -179,7 +200,8 @@ def cmd_import_weights(args) -> int:
     import numpy as np
 
     from emox.interop.torch_import import (
-        import_unet2d, import_vae, import_wav2vec2, load_torch_state_dict,
+        import_clip_text, import_clip_vision, import_unet2d, import_vae,
+        import_wav2vec2, load_torch_state_dict,
     )
 
     cfg = _load_config(args)
@@ -188,6 +210,8 @@ def cmd_import_weights(args) -> int:
         ("vae", args.vae, import_vae, cfg.vae),
         ("unet", args.unet, import_unet2d, cfg.model),
         ("wav2vec2", args.wav2vec2, import_wav2vec2, cfg.audio),
+        ("clip_text", getattr(args, "clip_text", None), import_clip_text, cfg.clip),
+        ("clip_vision", getattr(args, "clip_vision", None), import_clip_vision, cfg.clip),
     ):
         if not path:
             continue
@@ -301,6 +325,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--width", type=int, default=256)
     pp.add_argument("--height", type=int, default=256)
     pp.add_argument("--fps", type=float, default=25.0)
+    pp.add_argument("--face-ckpt", default=None,
+                    help="stage-0 checkpoint dir: trained FaceLocator+landmarks as mask/pose provider")
+    pp.add_argument("--config", default=None, help="YAML config for --face-ckpt model shape")
     pp.set_defaults(fn=cmd_precompute)
 
     pt = sub.add_parser("train", help="run a training stage")
@@ -334,6 +361,8 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("--vae", default=None)
     pw.add_argument("--unet", default=None)
     pw.add_argument("--wav2vec2", default=None)
+    pw.add_argument("--clip-text", default=None, help="CLIPTextModel checkpoint (SD-1.5 text_encoder)")
+    pw.add_argument("--clip-vision", default=None, help="CLIPVisionModelWithProjection checkpoint")
     pw.add_argument("--out", required=True)
     pw.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
     pw.set_defaults(fn=cmd_import_weights)

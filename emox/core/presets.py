@@ -21,6 +21,10 @@ def flagship_config(image_size: int = 256, num_frames: int = 16) -> Config:
             # audio-driven: no text prompt, so no attn2 (the reference fed
             # empty prompts through SD's text cross-attention)
             use_cross_attention=False,
+            # per-axis (pitch, yaw, roll) signed head velocities — the
+            # reference buckets each axis (Net.py:248-258); scalar speed
+            # loses head-turn direction
+            speed_axes=3,
         ),
         audio=AudioConfig(hidden_dim=768, num_layers=12, num_heads=12, conv_dim=512),
         data=DataConfig(width=image_size, height=image_size, num_frames=num_frames),

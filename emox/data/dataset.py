@@ -14,6 +14,7 @@ import json
 import os
 import threading
 import queue as queue_mod
+from collections import OrderedDict
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -37,6 +38,11 @@ class EMODataset:
         ref_mode: str = "random",  # "random" | "first": reference frame pick
         # ("first" = the reference's stage-2 convention: clip frame 0 is the
         # identity reference, train_stage_2_temporal_audio.py)
+        max_cached_clips: int = 32,  # LRU bound on decoded clips held in RAM
+        # (the reference's corpus target is 36k clips / 40 GB,
+        # reference README.md:113-117 — an unbounded dict cannot hold it)
+        speed_axes: int = 1,  # 1: scalar ||d pose|| speeds; 3: signed
+        # per-axis velocities (match ModelConfig.speed_axes)
     ):
         if stage not in STAGES:
             raise ValueError(f"stage must be one of {STAGES}, got {stage!r}")
@@ -63,12 +69,23 @@ class EMODataset:
             ]
         if not self.clips:
             raise ValueError(f"no clips in {cache_dir}")
-        self._cache: Dict[str, Dict[str, np.ndarray]] = {}
+        self.max_cached_clips = max_cached_clips
+        self.speed_axes = speed_axes
+        self._cache: OrderedDict[str, Dict[str, np.ndarray]] = OrderedDict()
+        self._cache_lock = threading.Lock()
 
     def _load(self, path: str) -> Dict[str, np.ndarray]:
-        if path not in self._cache:
-            self._cache[path] = dict(np.load(path))
-        return self._cache[path]
+        with self._cache_lock:
+            if path in self._cache:
+                self._cache.move_to_end(path)
+                return self._cache[path]
+        clip = dict(np.load(path))
+        with self._cache_lock:
+            self._cache[path] = clip
+            self._cache.move_to_end(path)
+            while len(self._cache) > max(1, self.max_cached_clips):
+                self._cache.popitem(last=False)
+        return clip
 
     def __len__(self) -> int:
         return len(self.clips)
@@ -93,7 +110,10 @@ class EMODataset:
         t_total = frames.shape[0]
         if self.stage == "stage0-facelocator":
             f = int(rng.integers(t_total))
-            return {"images": frames[f], "masks": masks[f]}
+            item = {"images": frames[f], "masks": masks[f]}
+            if "landmarks" in clip:
+                item["landmarks"] = clip["landmarks"][f]
+            return item
         if self.stage == "stage1":
             f, r = rng.integers(t_total, size=2)
             return {"images": frames[int(f)], "ref_image": frames[int(r)]}
@@ -117,7 +137,10 @@ class EMODataset:
             return item
         item["wav"] = self._wav_slice(clip["wav"], start)
         if self.stage == "stage3":
-            item["speeds"] = clip["pose_speeds"][idx]
+            if self.speed_axes == 3 and "pose_vel3" in clip:
+                item["speeds"] = clip["pose_vel3"][idx]  # [T, 3] signed
+            else:
+                item["speeds"] = clip["pose_speeds"][idx]
             item["masks"] = masks[idx[0]]  # conditioning mask from first frame
         return item
 

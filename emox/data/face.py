@@ -83,6 +83,19 @@ def pose_velocities(poses: np.ndarray, fps: float = 25.0, normalize: float = 180
     return np.clip(v, 0.0, 1.0)
 
 
+def pose_velocities_3d(poses: np.ndarray, fps: float = 25.0, normalize: float = 180.0) -> np.ndarray:
+    """[T, 3] euler degrees -> [T, 3] SIGNED per-axis velocities in [-1, 1].
+
+    The reference buckets each rotation axis separately (vector input to
+    SpeedEncoder, reference Net.py:248-258) — a scalar ||d pose|| loses the
+    head-turn direction. Feed this to models with speed_axes=3."""
+    t = poses.shape[0]
+    v = np.zeros((t, 3), np.float32)
+    if t > 1:
+        v[1:] = np.diff(poses, axis=0) * fps / normalize
+    return np.clip(v, -1.0, 1.0)
+
+
 def mask_from_bbox(height: int, width: int, bbox: Tuple[int, int, int, int], pad_ratio: float = 0.1) -> np.ndarray:
     """Padded bbox -> binary [H, W, 1] mask (reference Net.py:881-926
     generate_face_region_mask semantics)."""
@@ -121,6 +134,63 @@ class FaceHelper:
         locator_fn(frame_float[-1,1]) -> [H, W, 1] probability mask."""
         self.landmark_fn = landmark_fn
         self.locator_fn = locator_fn
+
+    @classmethod
+    def from_model(cls, model, params, batch_size: int = 16) -> "FaceHelper":
+        """Provider backed by the trained stage-0 nets: FaceLocator for
+        masks, FaceLandmarkNet for the 6 PnP landmarks — the emox-native
+        replacement for the reference's MediaPipe FaceDetection + FaceMesh
+        (reference Net.py:861-1156). `model` is an EMOModel whose params
+        carry trained 'face_locator' and 'landmarker' collections."""
+        import jax
+        import jax.numpy as jnp
+
+        locate = jax.jit(lambda im: jax.nn.sigmoid(model.locate_face(params, im)))
+        landmark = jax.jit(lambda im: model.locate_landmarks(params, im))
+
+        def locator_fn(frame: np.ndarray) -> np.ndarray:
+            return np.asarray(locate(jnp.asarray(frame, jnp.float32)[None]))[0]
+
+        def landmark_fn(frame: np.ndarray) -> np.ndarray:
+            f = np.asarray(frame, np.float32)
+            if f.max() > 1.5:  # u8-ranged input
+                f = f / 127.5 - 1.0
+            lm = np.asarray(landmark(jnp.asarray(f)[None]))[0]  # [6, 2] (y, x) in [0,1]
+            h, w = frame.shape[:2]
+            return np.stack([lm[:, 1] * w, lm[:, 0] * h], axis=-1)  # pixel (x, y)
+
+        return cls(landmark_fn=landmark_fn, locator_fn=locator_fn)
+
+    @classmethod
+    def from_landmark_file(cls, path: str) -> "FaceHelper":
+        """Provider over an external landmark export: .npy [T, 6, 2] pixel
+        (x, y) landmarks from any offline detector. Frames are consumed in
+        order (one call per frame)."""
+        arr = np.load(path).astype(np.float64)
+        if arr.ndim != 3 or arr.shape[1:] != (6, 2):
+            raise ValueError(f"landmark file {path} must be [T, 6, 2], got {arr.shape}")
+        # mask and pose passes iterate the clip independently -> own counters
+        counters = {"lm": 0, "mask": 0}
+
+        def take(which):
+            i = counters[which]
+            counters[which] = i + 1
+            return arr[min(i, len(arr) - 1)]
+
+        def landmark_fn(frame: np.ndarray):
+            return take("lm")
+
+        def locator_fn(frame: np.ndarray) -> np.ndarray:
+            # bbox mask straight from the landmark extent
+            h, w = frame.shape[:2]
+            lm = take("mask")
+            return mask_from_bbox(
+                h, w,
+                (int(lm[:, 0].min()), int(lm[:, 1].min()), int(lm[:, 0].max()) + 1, int(lm[:, 1].max()) + 1),
+                pad_ratio=0.35,
+            )
+
+        return cls(landmark_fn=landmark_fn, locator_fn=locator_fn)
 
     def face_mask(self, frame: np.ndarray) -> np.ndarray:
         h, w = frame.shape[:2]

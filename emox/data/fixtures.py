@@ -42,6 +42,10 @@ def make_synthetic_clip(
     wav           [S] float32
     head_centers  [T, 2] float32 (cy, cx) normalised
     pose_speeds   [T] float32 head-motion speed per frame (normalised)
+    landmarks     [T, 6, 2] float32 normalised (y, x) in [0, 1]: nose, chin,
+                  left/right eye outer, left/right mouth corner — the 6-point
+                  set FaceLandmarkNet / PnP pose use (emox.data.face
+                  CANONICAL_3D; reference Net.py:872 HEAD_POSE_LANDMARKS)
     """
     rng = np.random.default_rng(seed)
     dur = num_frames / fps
@@ -69,6 +73,7 @@ def make_synthetic_clip(
     yy, xx = np.mgrid[0:height, 0:width]
     frames = np.zeros((num_frames, height, width, 3), np.float32)
     masks = np.zeros((num_frames, height, width, 1), np.float32)
+    landmarks = np.zeros((num_frames, 6, 2), np.float32)
     skin = rng.random(3).astype(np.float32) * 0.4 + 0.4
     bg = rng.random(3).astype(np.float32) * 0.3 - 0.8
     for f in range(num_frames):
@@ -87,12 +92,26 @@ def make_synthetic_clip(
         img[mouth] = (-0.7, -0.2, -0.2)
         frames[f] = img
         masks[f, head, 0] = 1.0
+        # 6-point landmark GT from the head geometry (same order as
+        # emox.data.face.CANONICAL_3D)
+        landmarks[f] = np.array(
+            [
+                [fy, fx],                               # nose tip
+                [fy + 0.95 * ry, fx],                   # chin
+                [fy - 0.3 * ry, fx - 0.4 * rx],         # left eye outer
+                [fy - 0.3 * ry, fx + 0.4 * rx],         # right eye outer
+                [fy + 0.45 * ry, fx - 0.35 * rx],       # left mouth corner
+                [fy + 0.45 * ry, fx + 0.35 * rx],       # right mouth corner
+            ],
+            np.float32,
+        ) / np.array([height, width], np.float32)
     return {
         "frames": frames,
         "face_masks": masks,
         "wav": wav,
         "head_centers": centers,
         "pose_speeds": speeds,
+        "landmarks": landmarks,
     }
 
 

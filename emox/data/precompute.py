@@ -110,7 +110,18 @@ def precompute_clip(
     max_frames: Optional[int] = None,
     clip_meta: Optional[Dict] = None,  # CelebV-HQ entry: bbox / duration
 ) -> Dict[str, np.ndarray]:
-    """One clip -> {frames, face_masks, wav, pose_speeds} npz."""
+    """One clip -> {frames, face_masks, wav, pose_speeds, pose_vel3
+    (+landmarks when available)} npz.
+
+    Landmark sources, in priority order: a sibling `<src>.landmarks.npy`
+    export ([T, 6, 2] pixel (x, y) from any offline detector), the given
+    face_helper's landmark_fn (e.g. FaceHelper.from_model on a trained
+    stage-0 checkpoint), fixture ground truth inside a .npz clip.
+    """
+    landmarks = None
+    lm_path = os.path.splitext(src_path)[0] + ".landmarks.npy"
+    if os.path.exists(lm_path) and face_helper is None:
+        face_helper = FaceHelper.from_landmark_file(lm_path)
     if src_path.endswith(".npz"):
         clip = dict(np.load(src_path))
         frames = clip["frames"]
@@ -119,6 +130,7 @@ def precompute_clip(
         wav = clip.get("wav", np.zeros(int(len(frames) / fps * sample_rate), np.float32))
         masks = clip.get("face_masks")
         speeds = clip.get("pose_speeds")
+        landmarks = clip.get("landmarks")
     else:
         meta = clip_meta or {}
         frames = read_video_frames(
@@ -137,16 +149,32 @@ def precompute_clip(
     fh = face_helper or FaceHelper()
     if masks is None:
         masks = np.stack([fh.face_mask(f) for f in frames])
+    vel3 = None
+    if fh.landmark_fn is not None:
+        # full pose series -> scalar speeds AND signed per-axis velocities
+        from emox.data.face import pose_velocities, pose_velocities_3d
+
+        poses, last = [], np.zeros(3, np.float32)
+        for fr in frames:
+            p = fh.head_pose(fr)
+            last = p if p is not None else last
+            poses.append(last)
+        poses = np.stack(poses)
+        speeds = pose_velocities(poses, fps)
+        vel3 = pose_velocities_3d(poses, fps)
     if speeds is None:
-        speeds = fh.pose_speed_series(list(frames), fps)
-        if speeds is None or not np.any(speeds):
-            speeds = np.zeros(len(frames), np.float32)
+        speeds = np.zeros(len(frames), np.float32)
+    if vel3 is None:
+        vel3 = np.zeros((len(frames), 3), np.float32)
     out = {
         "frames": frames.astype(np.float32),
         "face_masks": masks.astype(np.float32),
         "wav": wav.astype(np.float32),
         "pose_speeds": speeds.astype(np.float32),
+        "pose_vel3": vel3.astype(np.float32),
     }
+    if landmarks is not None:
+        out["landmarks"] = np.asarray(landmarks, np.float32)[: len(frames)]
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.savez_compressed(out_path, **out)
     return out

@@ -3,9 +3,10 @@
 The compiled, TPU-native equivalent of the reference's
 EMOAnimationPipeline.__call__ (reference EMOAnimationPipeline.py:543-835):
 
-  * classifier-free guidance via batch doubling (uncond = zeroed reference
-    features + zeroed audio; reference used empty-prompt embeddings +
-    uncond-masked attention banks, EMOAnimationPipeline.py:641-679,
+  * classifier-free guidance via batch doubling (uncond = a true
+    no-reference branch via per-sample ref_dropout + zeroed audio;
+    reference used empty-prompt embeddings + uncond-masked attention
+    banks, EMOAnimationPipeline.py:641-679,
     mutual_self_attention.py:243-255),
   * short clips: single lax.scan DDIM loop; long clips: overlapping
     context windows from a static WindowPlan, scatter-add accumulation
@@ -70,36 +71,41 @@ class EMOPipeline:
                    control_cond=None):
         """CFG-combined noise prediction for the full latent clip.
 
-        Uncond = zeroed reference latent + zeroed audio (the reference's
-        empty-prompt + uncond-masked attention banks,
-        EMOAnimationPipeline.py:641-679, mutual_self_attention.py:243-255).
-        With cfg_batching the two branches run as one doubled-batch call.
+        Uncond is a TRUE no-reference branch: the uncond half never attends
+        to reference tokens (per-sample ref_dropout in the batched program;
+        ref_latent=None in the two-call program — the reference's
+        uncond-masked attention banks, mutual_self_attention.py:243-255,
+        plus empty-prompt embeddings, EMOAnimationPipeline.py:641-679).
+        Audio is zeroed for the uncond half. With cfg_batching the two
+        branches run as one doubled-batch call.
         """
         if guidance_scale == 1.0:
             return self.model.predict_noise(
                 params, latents, t, ref_latent, audio_windows=audio, speeds=speeds,
                 face_mask=face_mask, control_cond=control_cond,
             )
-        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        b = latents.shape[0]
+        cat = lambda a, b_: jnp.concatenate([a, b_], axis=0)
         if self.config.inference.cfg_batching:
+            drop = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((b,), bool)])
             out = self.model.predict_noise(
                 params,
                 cat(latents, latents),
                 cat(t, t),
-                cat(jnp.zeros_like(ref_latent), ref_latent),
+                cat(ref_latent, ref_latent),
                 audio_windows=None if audio is None else cat(jnp.zeros_like(audio), audio),
                 speeds=None if speeds is None else cat(speeds, speeds),
                 face_mask=None if face_mask is None else cat(face_mask, face_mask),
                 control_cond=None if control_cond is None else cat(control_cond, control_cond),
+                ref_dropout=drop,
             )
-            b = latents.shape[0]
             return cfg_combine(out[:b], out[b:], guidance_scale)
         cond = self.model.predict_noise(
             params, latents, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask,
             control_cond=control_cond,
         )
         uncond = self.model.predict_noise(
-            params, latents, t, jnp.zeros_like(ref_latent),
+            params, latents, t, None,
             audio_windows=None if audio is None else jnp.zeros_like(audio),
             speeds=speeds, face_mask=face_mask, control_cond=control_cond,
         )
@@ -141,13 +147,19 @@ class EMOPipeline:
 
     def _sample_windowed(
         self, params, key, ref_latent, audio, speeds, face_mask, num_frames, num_steps, guidance_scale,
+        lock_latents=None, num_locked=0, control_cond=None,
     ):
+        """Overlapping-window denoise over a long frame axis. Composes with
+        motion-frame continuation (lock_latents re-noised into the first
+        num_locked frames each step) and ControlNet conditioning (per-frame
+        control windows gathered alongside latent windows)."""
         icfg = self.config.inference
         plan = window_plan(
             num_steps, num_frames, icfg.context_frames, icfg.context_stride, icfg.context_overlap
         )
         b, h, w, c = ref_latent.shape
-        latents = jax.random.normal(key, (b, num_frames, h, w, c))
+        k_init, k_lock = jax.random.split(key)
+        latents = jax.random.normal(k_init, (b, num_frames, h, w, c))
         indices = jnp.asarray(plan.indices)
         weights = jnp.asarray(plan.weights)
         ts = inference_timesteps(self.sched.num_train_timesteps, num_steps)
@@ -156,11 +168,18 @@ class EMOPipeline:
         def denoise_window(w_lat, tb, w_idx):
             a = None if audio is None else jnp.take(audio, w_idx, axis=1)
             s = None if speeds is None else jnp.take(speeds, w_idx, axis=1)
-            return self._model_out(params, w_lat, tb, ref_latent, a, s, face_mask, guidance_scale)
+            cc = None
+            if control_cond is not None:
+                cc = jnp.take(control_cond, w_idx, axis=1) if control_cond.ndim == 5 else control_cond
+            return self._model_out(params, w_lat, tb, ref_latent, a, s, face_mask, guidance_scale,
+                                   control_cond=cc)
 
         def body(lat, step):
-            t, t_prev, idx, w8 = step
+            t, t_prev, idx, w8, k = step
             tb = jnp.full((b,), t, jnp.int32)
+            if lock_latents is not None and num_locked > 0:
+                noised = add_noise(self.sched, lock_latents, jax.random.normal(k, lock_latents.shape), tb)
+                lat = jnp.concatenate([noised[:, :num_locked], lat[:, num_locked:]], axis=1)
             windows = lat[:, idx].transpose(1, 0, 2, 3, 4, 5)  # [W, B, c, h, w, C]
             windows = self._shard_windows(windows)
             preds = jax.vmap(lambda wl, wi: denoise_window(wl, tb, wi))(windows, idx)
@@ -175,7 +194,8 @@ class EMOPipeline:
             lat = ddim_step(self.sched, out, lat, tb, jnp.full((b,), t_prev, jnp.int32))
             return lat, None
 
-        final, _ = jax.lax.scan(body, latents, (ts, ts_prev, indices, weights))
+        keys = jax.random.split(k_lock, num_steps)
+        final, _ = jax.lax.scan(body, latents, (ts, ts_prev, indices, weights, keys))
         return final
 
     # ---- public API ------------------------------------------------------
@@ -205,7 +225,10 @@ class EMOPipeline:
                 params, key, ref_latent, audio, speeds, face_mask, T, steps, g, lock_latents,
                 num_locked, control_cond,
             )
-        return self._sample_windowed(params, key, ref_latent, audio, speeds, face_mask, T, steps, g)
+        return self._sample_windowed(
+            params, key, ref_latent, audio, speeds, face_mask, T, steps, g, lock_latents,
+            num_locked, control_cond,
+        )
 
     def __call__(
         self,
@@ -282,11 +305,31 @@ class EMOPipeline:
     ) -> jax.Array:
         """Autoregressive long-video generation: each segment locks its first
         num_motion_frames latent frames to the previous segment's tail (the
-        reference's motion-frames conditioning, reference Net.py:44-72)."""
+        reference's motion-frames conditioning, reference Net.py:44-72).
+
+        Each distinct (seg_frames, wav_len, locked) shape compiles ONCE into
+        the pipeline's jit cache — a long video runs at most 3 compiled
+        programs (first segment, steady-state middle segments, final partial
+        segment) instead of dispatching op-by-op per segment."""
         icfg = self.config.inference
         key = key if key is not None else jax.random.PRNGKey(icfg.seed)
         sr = self.config.audio.sample_rate
         fps = self.config.audio.video_fps
+        steps = num_inference_steps or icfg.num_inference_steps
+        g = icfg.guidance_scale if guidance_scale is None else guidance_scale
+
+        def seg_call(seg_frames, wav_seg, sub, lock, num_locked):
+            ck = ("long_seg", seg_frames, int(wav_seg.shape[1]), steps, g, lock is not None, num_locked)
+            if ck not in self._jitted:
+                def run(params, ref_image, wav_seg, k, lock):
+                    return self.generate_latents(
+                        params, ref_image, wav_seg, video_length=seg_frames,
+                        num_inference_steps=steps, guidance_scale=g, key=k,
+                        lock_latents=lock, num_locked=num_locked,
+                    )
+                self._jitted[ck] = jax.jit(run)
+            return self._jitted[ck](params, ref_image, wav_seg, sub, lock)
+
         segs = []
         produced = 0
         prev_tail = None
@@ -305,14 +348,14 @@ class EMOPipeline:
             if not first:
                 pad = jnp.zeros((prev_tail.shape[0], seg_frames - num_motion_frames, *prev_tail.shape[2:]))
                 lock = jnp.concatenate([prev_tail, pad], axis=1)
-            lat = self.generate_latents(
-                params, ref_image, wav_seg, video_length=seg_frames,
-                num_inference_steps=num_inference_steps, guidance_scale=guidance_scale,
-                key=sub, lock_latents=lock,
-                num_locked=0 if first else num_motion_frames,
-            )
+            lat = seg_call(seg_frames, wav_seg, sub, lock, 0 if first else num_motion_frames)
             segs.append(lat if first else lat[:, num_motion_frames:])
             prev_tail = lat[:, -num_motion_frames:]
             produced += new
         latents = jnp.concatenate(segs, axis=1)[:, :total_frames]
-        return self.model.decode_latents(params, latents)
+        dk = ("long_decode", tuple(latents.shape))
+        if dk not in self._jitted:
+            self._jitted[dk] = jax.jit(
+                lambda p, z: self.model.decode_latents(p, z, chunk=icfg.decode_chunk)
+            )
+        return self._jitted[dk](params, latents)

@@ -299,6 +299,65 @@ def import_wav2vec2(sd: StateDict, cfg: AudioConfig) -> Dict[str, Any]:
     return tree
 
 
+def _map_clip_layer(m: _Mapper, tree: Dict, dst: str, src: str) -> None:
+    m.put(tree, f"{dst}/norm1/scale", f"{src}.layer_norm1.weight")
+    m.put(tree, f"{dst}/norm1/bias", f"{src}.layer_norm1.bias")
+    for proj, name in (("q_proj", "to_q"), ("k_proj", "to_k"), ("v_proj", "to_v"), ("out_proj", "to_out")):
+        m.put(tree, f"{dst}/attn/{name}/kernel", f"{src}.self_attn.{proj}.weight", _dense)
+        m.put(tree, f"{dst}/attn/{name}/bias", f"{src}.self_attn.{proj}.bias")
+    m.put(tree, f"{dst}/norm2/scale", f"{src}.layer_norm2.weight")
+    m.put(tree, f"{dst}/norm2/bias", f"{src}.layer_norm2.bias")
+    m.put(tree, f"{dst}/fc1/kernel", f"{src}.mlp.fc1.weight", _dense)
+    m.put(tree, f"{dst}/fc1/bias", f"{src}.mlp.fc1.bias")
+    m.put(tree, f"{dst}/fc2/kernel", f"{src}.mlp.fc2.weight", _dense)
+    m.put(tree, f"{dst}/fc2/bias", f"{src}.mlp.fc2.bias")
+
+
+def import_clip_text(sd: StateDict, cfg) -> Dict[str, Any]:
+    """transformers CLIPTextModel state dict -> emox CLIPTextEncoder params
+    (the prompt encoder SD-1.5 ships, reference
+    magicanimate/pipelines/animation.py:76)."""
+    m = _Mapper(sd)
+    tree: Dict[str, Any] = {}
+    pre = "text_model." if any(k.startswith("text_model.") for k in sd) else ""
+    m.put(tree, "token_embedding/embedding", f"{pre}embeddings.token_embedding.weight")
+    m.put(tree, "position_embedding", f"{pre}embeddings.position_embedding.weight")
+    for i in range(cfg.text_layers):
+        _map_clip_layer(m, tree, f"layer_{i}", f"{pre}encoder.layers.{i}")
+    m.put(tree, "final_norm/scale", f"{pre}final_layer_norm.weight")
+    m.put(tree, "final_norm/bias", f"{pre}final_layer_norm.bias")
+    # ignore buffers like position_ids
+    m.used.update(k for k in sd if k.endswith("position_ids"))
+    m.finish()
+    tree["__report__"] = m.report
+    return tree
+
+
+def import_clip_vision(sd: StateDict, cfg) -> Dict[str, Any]:
+    """transformers CLIPVisionModelWithProjection state dict -> emox
+    CLIPVisionEncoder params (the EMO image/identity encoder, reference
+    EMOAnimationPipeline.py:867)."""
+    m = _Mapper(sd)
+    tree: Dict[str, Any] = {}
+    pre = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+    m.put(tree, "class_embedding", f"{pre}embeddings.class_embedding")
+    m.put(tree, "patch_embedding/kernel", f"{pre}embeddings.patch_embedding.weight", _conv)
+    m.put(tree, "position_embedding", f"{pre}embeddings.position_embedding.weight")
+    # transformers spells it "pre_layrnorm" (upstream typo kept for parity)
+    pre_ln = "pre_layrnorm" if f"{pre}pre_layrnorm.weight" in sd else "pre_layernorm"
+    m.put(tree, "pre_norm/scale", f"{pre}{pre_ln}.weight")
+    m.put(tree, "pre_norm/bias", f"{pre}{pre_ln}.bias")
+    for i in range(cfg.vision_layers):
+        _map_clip_layer(m, tree, f"layer_{i}", f"{pre}encoder.layers.{i}")
+    m.put(tree, "post_norm/scale", f"{pre}post_layernorm.weight")
+    m.put(tree, "post_norm/bias", f"{pre}post_layernorm.bias")
+    m.put(tree, "visual_projection/kernel", "visual_projection.weight", _dense)
+    m.used.update(k for k in sd if k.endswith("position_ids"))
+    m.finish()
+    tree["__report__"] = m.report
+    return tree
+
+
 def merge_imported(target_params: Dict[str, Any], imported: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay imported tensors onto an init param tree (shape-checked);
     params absent from the import keep their init values."""

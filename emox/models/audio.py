@@ -39,7 +39,8 @@ class ConvFeatureExtractor(nn.Module):
             )(h)
             if i == 0:
                 h = nn.GroupNorm(
-                    num_groups=self.cfg.conv_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="gn0"
+                    num_groups=self.cfg.conv_dim, epsilon=1e-5,  # torch GroupNorm default
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="gn0"
                 )(h)
             h = nn.gelu(h, approximate=False)
         return h
@@ -57,10 +58,10 @@ class EncoderLayer(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         head_dim = self.cfg.hidden_dim // self.cfg.num_heads
         a = Attention(self.cfg.num_heads, head_dim, qkv_bias=True, name="attn", **kw)(h)
-        h = nn.LayerNorm(name="norm1", **kw)(h + a)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1", **kw)(h + a)
         f = nn.Dense(4 * self.cfg.hidden_dim, name="ff1", **kw)(h)
         f = nn.Dense(self.cfg.hidden_dim, name="ff2", **kw)(nn.gelu(f, approximate=False))
-        return nn.LayerNorm(name="norm2", **kw)(h + f)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2", **kw)(h + f)
 
 
 class AudioEncoder(nn.Module):
@@ -75,14 +76,14 @@ class AudioEncoder(nn.Module):
         cfg = self.cfg
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = ConvFeatureExtractor(cfg, name="feature_extractor", **kw)(wav)
-        h = nn.LayerNorm(name="feat_norm", **kw)(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="feat_norm", **kw)(h)
         h = nn.Dense(cfg.hidden_dim, name="feat_proj", **kw)(h)
         # grouped positional conv, kernel 128 pad 64, drop last step (wav2vec2)
         pos = nn.Conv(
             cfg.hidden_dim, (128,), padding=((64, 64),), feature_group_count=16, name="pos_conv", **kw
         )(h)[:, :-1]
         h = h + nn.gelu(pos, approximate=False)
-        h = nn.LayerNorm(name="enc_norm", **kw)(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="enc_norm", **kw)(h)
         for i in range(cfg.num_layers):
             h = EncoderLayer(cfg, name=f"layer_{i}", **kw)(h)
         return h

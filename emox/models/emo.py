@@ -20,10 +20,11 @@ import jax.numpy as jnp
 
 from emox.core.config import Config
 from emox.models.audio import AudioEncoder, align_audio_to_frames, audio_feature_rate
+from emox.models.clip import CLIPTextEncoder, CLIPVisionEncoder
 from emox.models.controlnet import ControlNetEncoder
 from emox.models.unet import UNet, reference_net_config
 from emox.models.vae import AutoencoderKL
-from emox.nn.conditioners import FaceLocator
+from emox.nn.conditioners import FaceLandmarkNet, FaceLocator
 
 Params = Dict[str, Any]
 
@@ -35,20 +36,31 @@ class EMOModules:
     denoiser: UNet
     audio_encoder: AudioEncoder
     face_locator: FaceLocator
+    landmarker: FaceLandmarkNet = None
     controlnet: Optional[ControlNetEncoder] = None
+    clip_text: Optional[CLIPTextEncoder] = None
+    clip_vision: Optional[CLIPVisionEncoder] = None
 
 
 class EMOModel:
-    def __init__(self, config: Config, dtype=jnp.float32, param_dtype=jnp.float32):
+    def __init__(self, config: Config, dtype=jnp.float32, param_dtype=jnp.float32, mesh=None):
+        """mesh: optional jax.sharding.Mesh. When its `context` axis is >1
+        the denoiser's temporal attention runs as ring attention over it
+        (frame-axis sequence parallelism; see emox/ops/ring.py). Do NOT pass
+        a mesh for models driven through the windowed sampler — the ring's
+        shard_map cannot sit under that sampler's vmap."""
         self.config = config
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.modules = EMOModules(
             vae=AutoencoderKL(config.vae, **kw),
             reference_net=UNet(reference_net_config(config.model), **kw),
-            denoiser=UNet(config.model, **kw),
+            denoiser=UNet(config.model, mesh=mesh, **kw),
             audio_encoder=AudioEncoder(config.audio, **kw),
             face_locator=FaceLocator(**kw),
+            landmarker=FaceLandmarkNet(**kw),
             controlnet=ControlNetEncoder(config.model, **kw) if config.model.use_controlnet else None,
+            clip_text=CLIPTextEncoder(config.clip, **kw) if config.clip.text_enabled else None,
+            clip_vision=CLIPVisionEncoder(config.clip, **kw) if config.clip.vision_enabled else None,
         )
 
     # ---- init ------------------------------------------------------------
@@ -71,20 +83,34 @@ class EMOModel:
         audio_win = align_audio_to_frames(
             feats, num_frames, audio_feature_rate(cfg.audio), cfg.audio.video_fps, cfg.audio.context_frames
         )
+        speeds0 = (
+            jnp.zeros((1, num_frames))
+            if cfg.model.speed_axes == 1
+            else jnp.zeros((1, num_frames, cfg.model.speed_axes))
+        )
         params["denoiser"] = self.modules.denoiser.init(
             kd,
             vid_lat,
             ts,
             ref_features=ref_feats,
             audio=audio_win,
-            speeds=jnp.zeros((1, num_frames)),
+            speeds=speeds0,
             face_mask=jnp.zeros((1, size, size, 1)),
         )["params"]
         params["face_locator"] = self.modules.face_locator.init(kf, img)["params"]
+        params["landmarker"] = self.modules.landmarker.init(jax.random.fold_in(key, 98), img)["params"]
         if self.modules.controlnet is not None:
             kc = jax.random.fold_in(key, 99)
             cond = jnp.zeros((1, size, size, cfg.model.control_cond_channels))
             params["controlnet"] = self.modules.controlnet.init(kc, vid_lat, ts, cond)["params"]
+        if self.modules.clip_text is not None:
+            kt = jax.random.fold_in(key, 100)
+            ids = jnp.zeros((1, min(8, cfg.clip.max_positions)), jnp.int32)
+            params["clip_text"] = self.modules.clip_text.init(kt, ids)["params"]
+        if self.modules.clip_vision is not None:
+            ki = jax.random.fold_in(key, 101)
+            im = jnp.zeros((1, cfg.clip.image_size, cfg.clip.image_size, 3))
+            params["clip_vision"] = self.modules.clip_vision.init(ki, im)["params"]
         return params
 
     # ---- submodel applies --------------------------------------------------
@@ -127,21 +153,46 @@ class EMOModel:
     def locate_face(self, params: Params, images: jax.Array) -> jax.Array:
         return self.modules.face_locator.apply({"params": params["face_locator"]}, images)
 
+    def locate_landmarks(self, params: Params, images: jax.Array) -> jax.Array:
+        """[B, H, W, 3] in [-1,1] -> [B, 6, 2] normalised (y, x) landmarks
+        (trained MediaPipe-FaceMesh replacement, reference Net.py:861-1156)."""
+        return self.modules.landmarker.apply({"params": params["landmarker"]}, images)
+
+    def encode_text(self, params: Params, input_ids: jax.Array) -> jax.Array:
+        """CLIP token ids [B, L] -> per-token embeddings [B, L, C] for the
+        denoiser's cross-attention context (reference
+        pipeline_animation.py:184-271 _encode_prompt)."""
+        if self.modules.clip_text is None:
+            raise ValueError("clip.text_enabled is False in this config")
+        return self.modules.clip_text.apply({"params": params["clip_text"]}, input_ids)
+
+    def encode_image_embedding(self, params: Params, images: jax.Array) -> jax.Array:
+        """CLIP-normalised images [B, H, W, 3] -> projected identity
+        embedding [B, proj] (reference EMOAnimationPipeline.py:867)."""
+        if self.modules.clip_vision is None:
+            raise ValueError("clip.vision_enabled is False in this config")
+        return self.modules.clip_vision.apply({"params": params["clip_vision"]}, images)
+
     # ---- the paper-shaped forward (reference Net.py:476-518) --------------
     def predict_noise(
         self,
         params: Params,
         noisy_latents: jax.Array,  # [B, T, h, w, 4]
         timesteps: jax.Array,  # [B]
-        ref_latent: jax.Array,  # [B, h, w, 4]
+        ref_latent: Optional[jax.Array],  # [B, h, w, 4]; None = no reference branch at all
         audio_windows: Optional[jax.Array] = None,  # [B, T, A, D]
         speeds: Optional[jax.Array] = None,  # [B, T]
         face_mask: Optional[jax.Array] = None,  # [B, H, W, 1]
         context: Optional[jax.Array] = None,
         control_cond: Optional[jax.Array] = None,  # [B(, T), H, W, Cc] pixel space
         control_scale: float = 1.0,
+        ref_dropout: Optional[jax.Array] = None,  # [B] bool, True = sample sees no ref
     ) -> jax.Array:
-        ref_feats = self.reference_features(params, ref_latent, timesteps)
+        """ref_latent=None skips ReferenceNet entirely (a true uncond program,
+        cheaper than the per-sample ref_dropout mask); ref_dropout drops the
+        reference per-sample inside one program (CFG batch doubling, training
+        conditioning dropout — reference mutual_self_attention.py:243-255)."""
+        ref_feats = None if ref_latent is None else self.reference_features(params, ref_latent, timesteps)
         control = None
         if control_cond is not None and self.modules.controlnet is not None:
             control = self.modules.controlnet.apply(
@@ -158,5 +209,6 @@ class EMOModel:
             speeds=speeds,
             face_mask=face_mask,
             control=control,
+            ref_dropout=ref_dropout,
         )
         return out.sample

@@ -47,6 +47,10 @@ class UNetOutputs(NamedTuple):
 class UNet(nn.Module):
     cfg: ModelConfig
     spatial_depth: int = 1
+    # jax.sharding.Mesh; when its `context` axis is >1 temporal attention
+    # runs as ring attention over it (frames stay sharded, K/V rotate on
+    # ICI — see emox/ops/ring.py). Training/short-clip programs only.
+    mesh: Optional[Any] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -70,8 +74,13 @@ class UNet(nn.Module):
         face_mask: Optional[jax.Array] = None,  # [B, H, W, 1] pixel space
         control: Optional[Any] = None,  # ControlSignals (models/controlnet.py)
         emit_ref: bool = False,
+        ref_dropout: Optional[jax.Array] = None,  # [B] bool, True = this sample sees no ref
     ) -> UNetOutputs:
         cfg = self.cfg
+        if not cfg.use_reference:
+            # hard-disable reference conditioning (parity knob for ablations
+            # and pure-2D import tests)
+            ref_features = None
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         # rematerialisation: recompute attention-stack activations in the
         # backward pass instead of storing them (reference enabled torch
@@ -93,10 +102,14 @@ class UNet(nn.Module):
         # ---- embeddings -------------------------------------------------
         temb = TimestepEmbedder(temb_dim, cfg.base_channels, name="time_embed", **kw)(timesteps)
         if cfg.use_speed and speeds is not None:
-            sp = speeds if speeds.ndim == 2 else jnp.broadcast_to(speeds[:, None], (b, t))
+            # speeds: [B] / [B, T] scalar ||d pose||, or [B, T, A] per-axis
+            # signed velocities (reference Net.py:248-258 buckets each axis)
+            if speeds.ndim == 1:
+                speeds = jnp.broadcast_to(speeds[:, None], (b, t))
+            axes = speeds.shape[2] if speeds.ndim == 3 else 1
             spe = SpeedEncoder(
                 temb_dim, cfg.num_speed_buckets, cfg.speed_bucket_radius, name="speed_embed", **kw
-            )(sp.reshape(b * t, 1))
+            )(speeds.reshape(b * t, axes))
             temb = jnp.repeat(temb, t, axis=0) + spe  # [(B T), D] per-frame
         if context is None and cfg.attention_levels and cfg.use_cross_attention:
             null = self.param("null_context", nn.initializers.normal(0.02), (1, 1, cfg.cross_attention_dim), self.param_dtype)
@@ -115,6 +128,8 @@ class UNet(nn.Module):
         banks: List[List[jax.Array]] = []
         site = 0
 
+        drop_frames = None if ref_dropout is None else jnp.repeat(ref_dropout, t, axis=0)
+
         def attn_stack(h, level_ch, name):
             """spatial (+ref) -> audio cross -> temporal, at one site."""
             nonlocal site, banks
@@ -127,7 +142,7 @@ class UNet(nn.Module):
                 groups=cfg.norm_groups, sparse_causal=cfg.use_sparse_causal,
                 use_cross=cfg.use_cross_attention,
                 num_frames=1 if emit_ref else t, name=f"{name}_attn", **kw,
-            )(h, context=ctx_frames, ref_kv=rkv)
+            )(h, context=ctx_frames, ref_kv=rkv, ref_drop=None if rkv is None else drop_frames)
             if emit_ref:
                 banks.append(bank)
             site += 1
@@ -138,7 +153,8 @@ class UNet(nn.Module):
                 )(hv, audio)
             if cfg.use_temporal and t > 1:
                 hv = TT(
-                    heads, head_dim, max_len=cfg.temporal_pos_max_len, name=f"{name}_temporal", **kw
+                    heads, head_dim, max_len=cfg.temporal_pos_max_len,
+                    ring_mesh=self.mesh, name=f"{name}_temporal", **kw
                 )(hv)
             h, _ = fold_time(hv)
             return h

@@ -25,7 +25,7 @@ kernel, different token layouts):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -117,8 +117,9 @@ class TransformerBlock(nn.Module):
         context: Optional[jax.Array] = None,
         ref_kv: Optional[jax.Array] = None,
         sc_gather=None,
+        ref_drop: Optional[jax.Array] = None,  # [N] bool, True = drop ref
     ):
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         attn = lambda name, **kw: Attention(
             self.heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name, **kw
         )
@@ -127,6 +128,14 @@ class TransformerBlock(nn.Module):
         # frames' normed tokens (first + previous), not this frame's
         # (reference magicanimate/models/attention.py SparseCausalAttention2D)
         sc_kv = sc_gather(normed1) if sc_gather is not None else None
+        if ref_kv is not None and ref_drop is not None:
+            # True "no reference" rows: substituting the row's OWN normed
+            # tokens for the ref tokens makes K/V = [own, own], and softmax
+            # over duplicated tokens equals plain self-attention exactly —
+            # the reference's uncond bank masking (reference
+            # mutual_self_attention.py:243-255) without a second program.
+            # Used for the CFG uncond half and training-time ref dropout.
+            ref_kv = jnp.where(ref_drop[:, None, None], normed1, ref_kv.astype(normed1.dtype))
         x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv)
         if self.use_cross and context is not None:
             x = x + attn("attn2")(ln("norm2")(x), context=context)
@@ -159,6 +168,7 @@ class SpatialTransformer(nn.Module):
         x: jax.Array,  # [(B T), H, W, C]
         context: Optional[jax.Array] = None,  # [(B T), Lc, Cc]
         ref_kv: Optional[list] = None,  # per-depth-block [(B T), Lr, C]
+        ref_drop: Optional[jax.Array] = None,  # [(B T)] bool, True = drop ref
     ):
         n, h, w, c = x.shape
         residual = x
@@ -182,7 +192,8 @@ class SpatialTransformer(nn.Module):
             hdn, normed1 = TransformerBlock(
                 self.heads, self.head_dim, use_cross=self.use_cross,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block_{i}",
-            )(hdn, context=context, ref_kv=None if ref_kv is None else ref_kv[i], sc_gather=sc_gather)
+            )(hdn, context=context, ref_kv=None if ref_kv is None else ref_kv[i],
+              sc_gather=sc_gather, ref_drop=ref_drop)
             banks.append(normed1)
         hdn = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(hdn)
         return residual + hdn.reshape(n, h, w, c), banks
@@ -193,10 +204,21 @@ class FrameAxisAttention(nn.Module):
     expressed with the spatial axis L as an einsum batch dimension — no
     physical [B,T,L,C] -> [(B L), T, C] transpose (profiled on v5e: the
     explicit transposes at 16 sites cost ~10 ms/step; einsum lets XLA fold
-    the permutation into the dots)."""
+    the permutation into the dots).
+
+    When `ring_mesh` is set and its `ring_axis` size > 1, attention runs as
+    ring attention over that mesh axis (emox.ops.ring.ring_frame_attention):
+    frames stay sharded, K/V rotate via ppermute instead of GSPMD
+    all-gathering the full frame axis (SURVEY.md §2.5 "ring attention over
+    the context axis for clips >> device count"). NB: the ring path uses
+    shard_map and must not sit under vmap (the windowed sampler) — only pass
+    a mesh for full-clip training/short-clip inference programs.
+    """
 
     heads: int
     head_dim: int
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "context"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -211,10 +233,17 @@ class FrameAxisAttention(nn.Module):
         q = split(dense("to_q")(x))
         k = split(dense("to_k")(x))
         v = split(dense("to_v")(x))
-        s = jnp.einsum("bqlhd,bklhd->blhqk", q, k, preferred_element_type=jnp.float32)
-        s = s * (self.head_dim ** -0.5)
-        p = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("blhqk,bklhd->bqlhd", p.astype(v.dtype), v)
+        ring_n = 1 if self.ring_mesh is None else self.ring_mesh.shape.get(self.ring_axis, 1)
+        if ring_n > 1 and t % ring_n == 0:
+            from emox.ops.ring import ring_frame_attention
+
+            o = ring_frame_attention(q, k, v, self.ring_mesh, self.ring_axis,
+                                     scale=self.head_dim ** -0.5)
+        else:
+            s = jnp.einsum("bqlhd,bklhd->blhqk", q, k, preferred_element_type=jnp.float32)
+            s = s * (self.head_dim ** -0.5)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("blhqk,bklhd->bqlhd", p.astype(v.dtype), v)
         o = o.reshape(b, t, l, inner)
         return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(o)
 
@@ -232,6 +261,8 @@ class TemporalTransformer(nn.Module):
     head_dim: int
     depth: int = 1
     max_len: int = 24
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "context"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -241,15 +272,16 @@ class TemporalTransformer(nn.Module):
         residual = x
         tokens = x.reshape(b, t, h * w, c)
         pe = sinusoidal_positions(self.max_len, c)[:t].astype(self.dtype)
-        tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm_in")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm_in")(tokens)
         tokens = tokens + pe[None, :, None, :]
         for i in range(self.depth):
-            ln = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_{i}")
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_{i}")
             attn = FrameAxisAttention(
-                self.heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=f"attn_{i}"
+                self.heads, self.head_dim, ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"attn_{i}"
             )
             tokens = tokens + attn(ln(tokens))
-            lnf = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_ff_{i}")
+            lnf = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_ff_{i}")
             tokens = tokens + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name=f"ff_{i}")(
                 lnf(tokens)
             )
@@ -278,7 +310,7 @@ class AudioCrossAttention(nn.Module):
         b, t, h, w, c = x.shape
         ba, ta, a, ca = audio.shape
         residual = x
-        tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(
             x.reshape(b * t, h * w, c)
         )
         ctx = audio.reshape(b * t, a, ca).astype(tokens.dtype)

@@ -76,6 +76,44 @@ class FaceLocator(nn.Module):
         return jax.image.resize(logits, (b, h0, w0, 1), method="bilinear")
 
 
+class FaceLandmarkNet(nn.Module):
+    """RGB frame [B, H, W, 3] -> 6 facial landmarks [B, 6, 2] (normalised
+    (y, x) in [0, 1]) via heatmap soft-argmax.
+
+    The trained replacement for the reference's MediaPipe FaceMesh landmark
+    source (reference Net.py:861-1156 FaceHelper: HEAD_POSE_LANDMARKS =
+    [33, 263, 1, 61, 291, 199] -> 6-point PnP head pose). The landmark
+    order matches emox.data.face.CANONICAL_3D: nose tip, chin, left eye
+    outer, right eye outer, left mouth corner, right mouth corner.
+    Soft-argmax keeps it differentiable end-to-end for stage-0 training.
+    """
+
+    num_points: int = 6
+    features: Tuple[int, ...] = (32, 64, 128)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x.astype(self.dtype)
+        for i, f in enumerate(self.features):
+            h = nn.Conv(f, (3, 3), dtype=self.dtype, param_dtype=self.param_dtype, name=f"conv{i}")(h)
+            h = nn.relu(h)
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        heat = nn.Conv(
+            self.num_points, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="heat"
+        )(h)  # [B, h', w', P]
+        b, hh, ww, p = heat.shape
+        w = jax.nn.softmax(heat.reshape(b, hh * ww, p).astype(jnp.float32), axis=1)
+        ys = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
+        xs = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
+        grid_y = jnp.repeat(ys, ww)  # [hh*ww]
+        grid_x = jnp.tile(xs, hh)
+        y = jnp.einsum("blp,l->bp", w, grid_y)
+        x_ = jnp.einsum("blp,l->bp", w, grid_x)
+        return jnp.stack([y, x_], axis=-1).astype(self.dtype)  # [B, P, 2]
+
+
 class FaceMaskEncoder(nn.Module):
     """Face mask [B, H, W, 1] (pixel res) -> [B, H/2^num_downs, ..., out_channels]
     additive residual for the denoiser conv_in. Zero-init final conv.

@@ -69,13 +69,17 @@ def trainable_mask(params: Params, stage: int) -> Any:
     def pred(path: str) -> bool:
         top = path.split("/")[0]
         if stage == 0:
-            return top == "face_locator"
+            # FaceLocator (masks) + FaceLandmarkNet (6-point pose landmarks)
+            # train together — the self-hosted replacement for MediaPipe
+            # (reference Net.py:861-1156)
+            return top in ("face_locator", "landmarker")
         if stage == 4:
             # ControlNet branch only (reference trains the controlnet
             # separately from the frozen UNet, controlnet.py from_unet flow)
             return top == "controlnet"
-        if top in ("vae", "audio_encoder", "face_locator", "controlnet"):
-            return False  # frozen in stages 1-3
+        if top in ("vae", "audio_encoder", "face_locator", "controlnet", "clip_text", "clip_vision"):
+            return False  # frozen in stages 1-3 (CLIP always frozen, as in
+            # the reference: text_encoder loaded eval-only, animation.py:76)
         is_temporal = any(k in path for k in _TEMPORAL_KEYS)
         is_audio = any(k in path for k in _AUDIO_KEYS)
         is_speed = any(k in path for k in _SPEED_KEYS)
@@ -112,7 +116,16 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
         iou_pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         inter = jnp.sum(iou_pred * labels)
         union = jnp.sum(jnp.maximum(iou_pred, labels))
-        return bce, {"loss": bce, "iou": inter / jnp.maximum(union, 1.0)}
+        loss = bce
+        metrics = {"loss": loss, "iou": inter / jnp.maximum(union, 1.0)}
+        if "landmarks" in batch:
+            # joint 6-point landmark regression (soft-argmax head) so the
+            # trained provider can replace MediaPipe in precompute
+            lm_pred = model.locate_landmarks(params, batch["images"])
+            lm_err = jnp.mean((lm_pred.astype(jnp.float32) - batch["landmarks"]) ** 2)
+            loss = loss + 10.0 * lm_err
+            metrics = dict(metrics, loss=loss, landmark_mse=lm_err)
+        return loss, metrics
 
     def denoise_loss(params: Params, batch: Dict, key: jax.Array):
         k_enc, k_noise, k_t, k_off, k_drop = jax.random.split(key, 5)
@@ -135,6 +148,15 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
             noise = noise + dcfg.noise_offset * jax.random.normal(k_off, (b, 1, 1, 1, 1))
         ts = jax.random.randint(k_t, (b,), 0, sched.num_train_timesteps)
         noisy = add_noise(sched, latents, noise, ts)
+
+        # CFG conditioning dropout over the REFERENCE (identity) so guidance
+        # over identity is actually trained (reference stage0.yaml
+        # uncond_ratio 0.1; the uncond masking at inference is
+        # mutual_self_attention.py:243-255)
+        ref_dropout = None
+        if config.train.uncond_ratio > 0:
+            k_drop, k_rdrop = jax.random.split(k_drop)
+            ref_dropout = jax.random.bernoulli(k_rdrop, config.train.uncond_ratio, (b,))
 
         audio_windows = None
         if stage >= 2 and "wav" in batch:
@@ -160,6 +182,7 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
         pred = model.predict_noise(
             params, noisy, ts, ref_latent, audio_windows=audio_windows,
             speeds=speeds, face_mask=face_mask, control_cond=control_cond,
+            ref_dropout=ref_dropout,
         )
         target = noise if sched.prediction_type == "epsilon" else get_velocity(sched, latents, noise, ts)
         err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2

@@ -12,6 +12,9 @@ from emox.core.config import load_config
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+
+pytestmark = pytest.mark.slow  # multi-minute CPU compiles; fast tier: -m "not slow"
+
 class TestParser:
     def test_subcommands(self):
         p = build_parser()

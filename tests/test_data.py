@@ -109,7 +109,7 @@ class TestDataset:
     def test_stage_keys(self, cache_dir):
         rng = np.random.default_rng(0)
         ds0 = EMODataset(cache_dir, "stage0-facelocator", num_frames=4)
-        assert set(ds0.sample(rng)) == {"images", "masks"}
+        assert set(ds0.sample(rng)) >= {"images", "masks"}  # +landmarks when cached
         ds1 = EMODataset(cache_dir, "stage1", num_frames=4)
         assert set(ds1.sample(rng)) == {"images", "ref_image"}
         ds2 = EMODataset(cache_dir, "stage2", num_frames=4)
@@ -204,3 +204,144 @@ class TestVideoReader:
             got = list(vr)
         assert len(got) == 5
         assert got[0].shape == (32, 32, 3)
+
+
+class TestLandmarkProvider:
+    def test_fixture_landmarks_consistent_with_mask(self):
+        clip = make_synthetic_clip(seed=0, num_frames=4, height=64, width=64)
+        lm = clip["landmarks"]
+        assert lm.shape == (4, 6, 2)
+        assert np.all(lm >= 0) and np.all(lm <= 1)
+        # nose tip sits inside the face mask
+        for f in range(4):
+            y, x = (lm[f, 0] * 64).astype(int)
+            assert clip["face_masks"][f, y, x, 0] == 1.0
+
+    def test_landmark_net_trains_on_fixtures(self):
+        """Stage-0 joint training: landmark MSE decreases on fixture clips
+        (the trained MediaPipe replacement, VERDICT item 4)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from emox.models.emo import EMOModel
+        from emox.train.stages import stage_loss_fn, trainable_mask
+        from emox.diffusion.schedule import make_schedule
+        from tests.test_models import tiny_config
+
+        cfg = tiny_config()
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+        loss_fn = stage_loss_fn(model, cfg, make_schedule(cfg.diffusion), 0)
+        mask = trainable_mask(params, 0)
+        assert any(jax.tree.leaves(mask["landmarker"])), "landmarker must train in stage 0"
+
+        clip = make_synthetic_clip(seed=1, num_frames=8, height=32, width=32)
+        batch = {
+            "images": clip["frames"],
+            "masks": clip["face_masks"],
+            "landmarks": clip["landmarks"],
+        }
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, metrics
+
+        key = jax.random.PRNGKey(2)
+        first = None
+        for i in range(30):
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = step(params, opt_state, sub)
+            if first is None:
+                first = float(metrics["landmark_mse"])
+        last = float(metrics["landmark_mse"])
+        assert last < first * 0.7, (first, last)
+
+    def test_face_helper_from_model(self):
+        import jax
+
+        from emox.models.emo import EMOModel
+        from emox.data.face import FaceHelper
+        from tests.test_models import tiny_config
+
+        model = EMOModel(tiny_config())
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+        fh = FaceHelper.from_model(model, params)
+        frame = make_synthetic_clip(seed=0, num_frames=1, height=32, width=32)["frames"][0]
+        m = fh.face_mask(frame)
+        assert m.shape == (32, 32, 1)
+        lm = fh.landmark_fn(frame)
+        assert lm.shape == (6, 2)
+        pose = fh.head_pose(frame)
+        assert pose is None or pose.shape == (3,)
+
+    def test_from_landmark_file_and_precompute(self, tmp_path):
+        """precompute_clip with a sibling .landmarks.npy export: masks come
+        from the landmark extent (not the ellipse prior) and pose speeds
+        are non-zero for a moving head."""
+        from emox.data.face import geometric_prior_mask
+
+        clip = make_synthetic_clip(seed=2, num_frames=8, height=64, width=64)
+        src = tmp_path / "clip.npz"
+        # drop fixture masks/speeds so precompute must derive them
+        np.savez(src, frames=clip["frames"], wav=clip["wav"])
+        lm_px = clip["landmarks"][:, :, ::-1] * 64.0  # (y,x)->(x,y) pixels
+        np.save(tmp_path / "clip.landmarks.npy", lm_px)
+        out = precompute_clip(str(src), str(tmp_path / "out.npz"), width=64, height=64)
+        prior = geometric_prior_mask(64, 64)
+        assert not np.allclose(out["face_masks"][0], prior), "mask must come from landmarks"
+        assert np.any(out["pose_speeds"] > 0), "moving head must yield non-zero speeds"
+        assert out["pose_vel3"].shape == (8, 3)
+        assert np.any(np.abs(out["pose_vel3"]) > 0)
+
+    def test_per_axis_speed_model(self):
+        """speed_axes=3 model consumes [B, T, 3] signed velocities."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+
+        from emox.models.emo import EMOModel
+        from tests.test_models import tiny_config
+
+        cfg = tiny_config()
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, speed_axes=3))
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+        lat = jnp.zeros((1, 2, 8, 8, 4))
+        ref = jnp.zeros((1, 8, 8, 4))
+        v3 = jnp.ones((1, 2, 3)) * 0.3
+        out = model.predict_noise(params, lat, jnp.zeros((1,), jnp.int32), ref, speeds=v3)
+        assert out.shape == lat.shape
+        # direction matters: opposite yaw gives a different prediction after
+        # perturbing the zero-init speed head
+        params2 = jax.tree.map(lambda x: x, params)
+        params2["denoiser"]["speed_embed"]["fc2"]["kernel"] = (
+            jnp.ones_like(params2["denoiser"]["speed_embed"]["fc2"]["kernel"]) * 0.01
+        )
+        o1 = model.predict_noise(params2, lat, jnp.zeros((1,), jnp.int32), ref, speeds=v3)
+        o2 = model.predict_noise(params2, lat, jnp.zeros((1,), jnp.int32), ref, speeds=-v3)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+class TestLRUCache:
+    def test_bounded_memory(self, cache_dir):
+        ds = EMODataset(cache_dir, stage="stage1", max_cached_clips=1)
+        rng = np.random.default_rng(0)
+        for _ in range(8):
+            ds.sample(rng)
+        assert len(ds._cache) <= 1
+
+    def test_lru_evicts_oldest(self, tmp_path):
+        vdir = tmp_path / "v"
+        meta = write_fixture_dataset(str(vdir), num_clips=3, num_frames=4, size=16)
+        precompute_dataset(str(meta), str(vdir), str(tmp_path / "c"), width=16, height=16)
+        ds = EMODataset(str(tmp_path / "c"), stage="stage1", max_cached_clips=2)
+        for _, path in ds.clips:
+            ds._load(path)
+        assert len(ds._cache) == 2
+        # most-recently-used stays
+        assert ds.clips[-1][1] in ds._cache

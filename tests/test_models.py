@@ -85,6 +85,47 @@ class TestUNet:
         y2 = den.apply(dp, vid, ts, ref_features=f2).sample
         assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
+    def test_ref_dropout_equals_no_ref(self):
+        """ref_dropout=True rows == running with no ref features at all
+        (K/V = [own, own] is exactly plain self-attention) — the true CFG
+        uncond branch (reference mutual_self_attention.py:243-255)."""
+        cfg = tiny_config().model
+        ref_net = UNet(reference_net_config(cfg))
+        ts = jnp.zeros((2,), jnp.int32)
+        r = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+        rp = ref_net.init(jax.random.PRNGKey(1), r[:1], ts[:1], emit_ref=True)
+        feats = ref_net.apply(rp, r, ts, emit_ref=True).ref_features
+        den = UNet(cfg)
+        vid = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 8, 8, 4))
+        dp = den.init(jax.random.PRNGKey(3), vid, ts, ref_features=feats)
+        y_drop = den.apply(dp, vid, ts, ref_features=feats,
+                           ref_dropout=jnp.array([True, True])).sample
+        y_noref = den.apply(dp, vid, ts, ref_features=None).sample
+        np.testing.assert_allclose(np.asarray(y_drop), np.asarray(y_noref), atol=1e-5, rtol=1e-5)
+        # partial dropout: row 0 dropped matches no-ref, row 1 matches with-ref
+        y_mixed = den.apply(dp, vid, ts, ref_features=feats,
+                            ref_dropout=jnp.array([True, False])).sample
+        y_ref = den.apply(dp, vid, ts, ref_features=feats).sample
+        np.testing.assert_allclose(np.asarray(y_mixed[0]), np.asarray(y_noref[0]), atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(y_mixed[1]), np.asarray(y_ref[1]), atol=1e-5, rtol=1e-5)
+        assert not np.allclose(np.asarray(y_ref), np.asarray(y_noref))
+
+    def test_use_reference_flag_disables_ref(self):
+        """ModelConfig.use_reference=False makes ref features a no-op."""
+        import dataclasses
+        cfg = tiny_config().model
+        ref_net = UNet(reference_net_config(cfg))
+        ts = jnp.zeros((1,), jnp.int32)
+        r = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        rp = ref_net.init(jax.random.PRNGKey(1), r, ts, emit_ref=True)
+        feats = ref_net.apply(rp, r, ts, emit_ref=True).ref_features
+        vid = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8, 8, 4))
+        den_off = UNet(dataclasses.replace(cfg, use_reference=False))
+        dp = den_off.init(jax.random.PRNGKey(3), vid, ts, ref_features=feats)
+        y_feats = den_off.apply(dp, vid, ts, ref_features=feats).sample
+        y_none = den_off.apply(dp, vid, ts, ref_features=None).sample
+        np.testing.assert_allclose(np.asarray(y_feats), np.asarray(y_none), atol=0, rtol=0)
+
     def test_single_frame_4d_input(self):
         cfg = tiny_config().model
         net = UNet(reference_net_config(cfg))

@@ -14,6 +14,9 @@ from emox.models.emo import EMOModel
 from test_models import tiny_config
 
 
+
+pytestmark = pytest.mark.slow  # multi-minute CPU compiles; fast tier: -m "not slow"
+
 def pipe_config(cfg_batching=True, decode_chunk=0):
     cfg = tiny_config()
     return cfg.replace(
@@ -69,6 +72,49 @@ class TestPipeline:
             num_inference_steps=2,
         )
         assert frames.shape == (1, 10, 32, 32, 3)
+
+    def test_generate_long_is_compiled(self, setup):
+        """Long path runs through the shape-keyed jit cache — at most 3
+        segment programs + 1 decode, not an eager op-by-op loop."""
+        model, params, ref, wav = setup
+        pipe = EMOPipeline(model, pipe_config())
+        pipe.generate_long(
+            params, ref, wav, total_frames=10, segment_length=4, num_motion_frames=1,
+            num_inference_steps=2,
+        )
+        seg_keys = [k for k in pipe._jitted if k[0] == "long_seg"]
+        dec_keys = [k for k in pipe._jitted if k[0] == "long_decode"]
+        assert 1 <= len(seg_keys) <= 3, seg_keys
+        assert len(dec_keys) == 1
+
+    def test_windowed_lock_and_control_compose(self, setup):
+        """_sample_windowed accepts lock_latents + control_cond (VERDICT
+        weak 7): long-clip windows + continuation + ControlNet in one call."""
+        import dataclasses as dc
+
+        cfg = pipe_config()
+        cfg = cfg.replace(model=dc.replace(cfg.model, use_controlnet=True))
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=4, image_size=32)
+        ref = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 0.1
+        wav = jax.random.normal(jax.random.PRNGKey(2), (1, 16000)) * 0.01
+        pipe = EMOPipeline(model, cfg)
+        T = 12  # > context_frames=8 -> windowed path
+        lock = jax.random.normal(jax.random.PRNGKey(3), (1, T, 16, 16, 4)) * 0.1
+        control = jnp.zeros((1, T, 32, 32, 3))
+        lat = pipe.generate_latents(
+            params, ref, wav, video_length=T, num_inference_steps=2,
+            lock_latents=lock, num_locked=2, control_cond=control,
+        )
+        assert lat.shape == (1, T, 16, 16, 4)
+        assert np.isfinite(np.asarray(lat)).all()
+        # locked prefix actually constrains the result: different lock ->
+        # different output in the locked region's denoised continuation
+        lat2 = pipe.generate_latents(
+            params, ref, wav, video_length=T, num_inference_steps=2,
+            lock_latents=lock * 5.0, num_locked=2, control_cond=control,
+        )
+        assert not np.allclose(np.asarray(lat), np.asarray(lat2))
 
     def test_invert_shapes(self, setup):
         model, params, ref, wav = setup

@@ -19,6 +19,9 @@ from emox.train.stages import trainable_mask
 from emox.train.trainer import Trainer
 
 
+
+pytestmark = pytest.mark.slow  # multi-minute CPU compiles; fast tier: -m "not slow"
+
 def tiny_config(tmp, stage=1, steps=4) -> Config:
     return Config(
         vae=VAEConfig(base_channels=8, channel_multipliers=(1, 2), num_res_blocks=1, norm_groups=4),

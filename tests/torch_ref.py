@@ -217,9 +217,13 @@ class TMiniUNet(nn.Module):
     """diffusers UNet2DConditionModel naming, small config, attention at
     every level, layers_per_block resnets, temb 'add' mode, heads fixed."""
 
-    def __init__(self, chans=(16, 32), layers=1, groups=4, heads=2, cross_dim=16, in_ch=4):
+    def __init__(self, chans=(16, 32), layers=1, groups=4, heads=2, cross_dim=16, in_ch=4,
+                 attn_levels=None):
         super().__init__()
         self.chans = chans
+        # attn_levels: which resolution levels get spatial transformers
+        # (SD-1.5: (0, 1, 2) of 4 — the deepest level is attention-free)
+        self.attn_levels = tuple(range(len(chans))) if attn_levels is None else tuple(attn_levels)
         temb = 4 * chans[0]
         self.conv_in = nn.Conv2d(in_ch, chans[0], 3, padding=1)
         self.time_embedding = nn.Module()
@@ -232,7 +236,10 @@ class TMiniUNet(nn.Module):
             blk.resnets = nn.ModuleList(
                 [TResnetBlock(prev if j == 0 else ch, ch, temb, groups) for j in range(layers)]
             )
-            blk.attentions = nn.ModuleList([TSpatialTransformer(ch, heads, cross_dim, groups) for _ in range(layers)])
+            if i in self.attn_levels:
+                blk.attentions = nn.ModuleList(
+                    [TSpatialTransformer(ch, heads, cross_dim, groups) for _ in range(layers)]
+                )
             if i < len(chans) - 1:
                 blk.downsamplers = nn.ModuleList([TDownsample(ch, padding=1)])
             self.down_blocks.append(blk)
@@ -245,12 +252,15 @@ class TMiniUNet(nn.Module):
             blk = nn.Module()
             prev_out = rev[max(k - 1, 0)]  # channels coming from below
             skip_chs = self._skip_channels(k, layers)
+            lvl = len(chans) - 1 - k
             blk.resnets = nn.ModuleList()
-            blk.attentions = nn.ModuleList()
+            if lvl in self.attn_levels:
+                blk.attentions = nn.ModuleList()
             for j in range(layers + 1):
                 in_c = (prev_out if j == 0 else ch) + skip_chs[j]
                 blk.resnets.append(TResnetBlock(in_c, ch, temb, groups))
-                blk.attentions.append(TSpatialTransformer(ch, heads, cross_dim, groups))
+                if lvl in self.attn_levels:
+                    blk.attentions.append(TSpatialTransformer(ch, heads, cross_dim, groups))
             if k < len(chans) - 1:
                 blk.upsamplers = nn.ModuleList([TUpsample(ch)])
             self.up_blocks.append(blk)
@@ -279,9 +289,10 @@ class TMiniUNet(nn.Module):
         h = self.conv_in(x)
         skips = [h]
         for blk in self.down_blocks:
-            for r, a in zip(blk.resnets, blk.attentions):
+            for j, r in enumerate(blk.resnets):
                 h = r(h, temb)
-                h = a(h, ctx)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
                 skips.append(h)
             if hasattr(blk, "downsamplers"):
                 h = blk.downsamplers[0](h)
@@ -290,10 +301,11 @@ class TMiniUNet(nn.Module):
         h = self.mid_block.attentions[0](h, ctx)
         h = self.mid_block.resnets[1](h, temb)
         for blk in self.up_blocks:
-            for r, a in zip(blk.resnets, blk.attentions):
+            for j, r in enumerate(blk.resnets):
                 h = torch.cat([h, skips.pop()], dim=1)
                 h = r(h, temb)
-                h = a(h, ctx)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
             if hasattr(blk, "upsamplers"):
                 h = blk.upsamplers[0](h)
         return self.conv_out(F.silu(self.conv_norm_out(h)))
