@@ -65,6 +65,116 @@ def group_norm_xla(
     return xn.astype(x.dtype)
 
 
+def _gn_stats_kernel(x_ref, s_ref, ss_ref, acc_s, acc_ss):
+    """Per-channel sum and sum-of-squares for one (sample, L-block) cell.
+
+    The L dimension is the fastest grid axis; accumulators live in VMEM
+    scratch across L blocks. Built to attack the convert_reduce stat
+    fusions (8.8 ms of the flagship 256^2 denoise step); measured on v5e
+    it ties XLA's reduce per-op (~0.31 ms on a 40 MB [16,4096,320] slab)
+    and loses ~5% end-to-end from fusion breaks — kept opt-in
+    (EMOX_GROUPNORM_IMPL=fast), see _default_impl.
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_s[:] = jnp.zeros_like(acc_s)
+        acc_ss[:] = jnp.zeros_like(acc_ss)
+
+    x = x_ref[0].astype(jnp.float32)  # (l_blk, C)
+    acc_s[:] = acc_s[:] + jnp.sum(x, axis=0, keepdims=True)
+    acc_ss[:] = acc_ss[:] + jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _():
+        s_ref[0, 0] = acc_s[0]
+        ss_ref[0, 0] = acc_ss[0]
+
+
+def _gn_stats_pallas(x: jax.Array, interpret: bool = False):
+    """x [N, L, C] -> (sum, sumsq) per channel, both [N, C] fp32."""
+    n, l, c = x.shape
+    l_blk = min(l, max(8, (2 * 1024 * 1024 // 4) // max(c, 1) // 8 * 8))
+    l_pad = ((l + l_blk - 1) // l_blk) * l_blk
+    if l_pad != l:
+        x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))  # zeros: no effect on sums
+    mem = dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
+    scratch = (
+        [pltpu.VMEM((1, c), jnp.float32), pltpu.VMEM((1, c), jnp.float32)]
+        if _HAS_PLTPU
+        else []
+    )
+    s, ss = pl.pallas_call(
+        _gn_stats_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+        ),
+        grid=(n, l_pad // l_blk),
+        in_specs=[pl.BlockSpec((1, l_blk, c), lambda i, j: (i, j, 0), **mem)],
+        out_specs=(
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), **mem),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), **mem),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x)
+    return s[:, 0], ss[:, 0]
+
+
+def group_norm_fast(
+    x: jax.Array, gamma: jax.Array, beta: jax.Array, groups: int, eps: float = 1e-5,
+    silu: bool = False, interpret: bool = False,
+) -> jax.Array:
+    """Pallas statistics + XLA apply: the stat pass runs as one coalesced
+    bf16 read (kernel above), while the normalise stays a plain
+    `x * a + b` elementwise op so XLA can keep fusing it into the consumer
+    conv's prologue (which is why the all-in-one pallas GN LOST to XLA by
+    4% in round 1 — it broke that fusion and paid an extra HBM round trip).
+
+    Gradient: custom_vjp recomputes through the XLA reference (stats are
+    cheap relative to the surrounding matmuls in the backward)."""
+    *lead, l, c = x.shape
+    cg = c // groups
+    xr = x.reshape(-1, l, c)
+    s, ss = _gn_stats_pallas(xr, interpret=interpret)  # [N, C] f32
+    n_lead = xr.shape[0]
+    sg = jnp.sum(s.reshape(n_lead, groups, cg), axis=-1)  # [N, G]
+    ssg = jnp.sum(ss.reshape(n_lead, groups, cg), axis=-1)
+    cnt = l * cg
+    mean_g = sg / cnt
+    var_g = ssg / cnt - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    gamma_g = gamma.astype(jnp.float32).reshape(1, groups, cg)
+    beta_g = beta.astype(jnp.float32).reshape(1, groups, cg)
+    a = (gamma_g * inv_g[..., None]).reshape(n_lead, 1, c)
+    b = (beta_g - (mean_g * inv_g)[..., None] * gamma_g).reshape(n_lead, 1, c)
+    y = xr * a.astype(x.dtype) + b.astype(x.dtype)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.reshape(*lead, l, c).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_fast(x, gamma, beta, groups, eps, silu, interpret):
+    return group_norm_fast(x, gamma, beta, groups, eps, silu, interpret)
+
+
+def _gn_fast_fwd(x, gamma, beta, groups, eps, silu, interpret):
+    return group_norm_fast(x, gamma, beta, groups, eps, silu, interpret), (x, gamma, beta)
+
+
+def _gn_fast_bwd(groups, eps, silu, interpret, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(lambda x_, g_, b_: group_norm_xla(x_, g_, b_, groups, eps, silu), x, gamma, beta)
+    return vjp(g)
+
+
+_gn_fast.defvjp(_gn_fast_fwd, _gn_fast_bwd)
+
+
 def _gn_kernel(x_ref, gamma_ref, beta_ref, agg_ref, o_ref, *, groups: int, eps: float, silu: bool, l_real: int):
     x = x_ref[0].astype(jnp.float32)  # (L, C)
     l, c = x.shape
@@ -115,11 +225,18 @@ def _default_impl() -> str:
     env = os.environ.get("EMOX_GROUPNORM_IMPL")
     if env:
         return env
-    # Default to XLA everywhere: measured on v5e (flagship 256^2 bench),
-    # XLA's own GN+SiLU fusion beats the single-pass Pallas kernel by ~4%
-    # end-to-end (84.4 vs 87.6 ms/step) — XLA fuses the norm into the
-    # surrounding conv prologue, which the standalone kernel can't.
-    # The kernel stays available via EMOX_GROUPNORM_IMPL=pallas.
+    # Default to XLA everywhere — both Pallas alternatives were benchmarked
+    # on v5e (flagship 256^2 denoise step) and LOST:
+    #   - all-in-one pallas GN ("pallas"): -4% end-to-end (84.4 vs 87.6
+    #     ms/step, round 1) — it breaks XLA's fusion of the normalise into
+    #     the consumer conv's prologue and pays an extra HBM round trip.
+    #   - hybrid stats-kernel + XLA apply ("fast"): -5% end-to-end (46.8 vs
+    #     49.2 ms/step, round 2) — isolated stat-pass timing shows the
+    #     Pallas reduction is no faster than XLA's convert_reduce fusion at
+    #     these shapes (~0.31 ms for a 40 MB [16,4096,320] slab either
+    #     way); the pallas_call boundary only adds fusion breaks.
+    # Both stay available via EMOX_GROUPNORM_IMPL=pallas|fast for re-tuning
+    # on other TPU generations.
     return "xla"
 
 
@@ -156,6 +273,8 @@ def group_norm(
         raise ValueError(f"channels {c} not divisible by groups {groups}")
     impl = impl or _default_impl()
     shape = x.shape
+    if impl in ("fast", "fast_interpret") and _HAS_PLTPU:
+        return _gn_fast(x, gamma, beta, groups, eps, silu, impl == "fast_interpret")
     if impl in ("pallas", "pallas_interpret"):
         l = shape[-2]
         # single-pass kernel needs the (L, C) slab resident in VMEM

@@ -126,6 +126,8 @@ class TestGroupNorm:
             ref = group_norm_xla(x, gamma, beta, g, silu=silu)
             out = group_norm(x, gamma, beta, g, silu=silu, impl="pallas_interpret")
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+            fast = group_norm(x, gamma, beta, g, silu=silu, impl="fast_interpret")
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
     def test_grad_matches(self):
         key = jax.random.PRNGKey(1)
@@ -139,10 +141,11 @@ class TestGroupNorm:
                 return jnp.sum(group_norm(x, gamma, beta, 16, silu=True, impl=impl) ** 2)
             return f
 
-        g_pal = jax.grad(loss("pallas_interpret"), argnums=(0, 1, 2))(x, gamma, beta)
         g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, gamma, beta)
-        for gp, gr in zip(g_pal, g_ref):
-            np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-4, rtol=1e-4)
+        for impl in ("pallas_interpret", "fast_interpret"):
+            g_pal = jax.grad(loss(impl), argnums=(0, 1, 2))(x, gamma, beta)
+            for gp, gr in zip(g_pal, g_ref):
+                np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-4, rtol=1e-4)
 
     def test_4d_input(self):
         x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16, 32))
