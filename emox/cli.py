@@ -98,6 +98,16 @@ def cmd_precompute(args) -> int:
     return 0
 
 
+def cmd_pack_records(args) -> int:
+    from emox.data.records import write_shards
+
+    idx = write_shards(args.cache, args.out, shard_bytes=args.shard_mb * 1024 * 1024)
+    with open(idx) as f:
+        meta = json.load(f)
+    print(f"packed {len(meta['clips'])} clips into {len(meta['shards'])} shard(s) -> {args.out}")
+    return 0
+
+
 def cmd_train(args) -> int:
     from emox.comm.runtime import initialize_distributed
     from emox.core.config import save_config
@@ -329,6 +339,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stage-0 checkpoint dir: trained FaceLocator+landmarks as mask/pose provider")
     pp.add_argument("--config", default=None, help="YAML config for --face-ckpt model shape")
     pp.set_defaults(fn=cmd_precompute)
+
+    pk = sub.add_parser(
+        "pack-records",
+        help="per-clip .npz caches -> sharded mmap records (streaming loader for the 36k-clip corpus)",
+    )
+    pk.add_argument("--cache", required=True, help="dir of per-clip .npz caches (precompute output)")
+    pk.add_argument("--out", required=True, help="output dir for shard-*.rec + index.json")
+    pk.add_argument("--shard-mb", type=int, default=512)
+    pk.set_defaults(fn=cmd_pack_records)
 
     pt = sub.add_parser("train", help="run a training stage")
     pt.add_argument("--stage", type=int, choices=(0, 1, 2, 3, 4))

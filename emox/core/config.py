@@ -150,6 +150,16 @@ class ModelConfig:
     separable_convs: bool = False
     flash_attention: bool = True
     remat: bool = True
+    # AdaIN-style GroupNorm statistic transfer: the writer (ReferenceNet)
+    # also emits per-channel spatial mean/var at every attention site, and
+    # the reader renormalises its activations to those statistics
+    # (reference mutual_self_attention.py:319-530 mean_bank/var_bank mode).
+    # Optional fidelity mode on top of the K/V-concat reference attention.
+    use_gn_ref: bool = False
+    # Blend factor for the CFG-uncond half under AdaIN: uncond keeps
+    # style_fidelity of its own statistics (reference
+    # stable_diffusion_controlnet_reference.py style_fidelity, default 0.5).
+    style_fidelity: float = 0.5
 
     def __post_init__(self):
         object.__setattr__(self, "channel_multipliers", _tuplify(self.channel_multipliers))

@@ -56,17 +56,26 @@ class EMODataset:
         self.ctx = audio_context_frames
         self.sample_rate = sample_rate
         self.fps = fps
-        man_path = os.path.join(cache_dir, "manifest.json")
-        if os.path.exists(man_path):
-            with open(man_path) as f:
-                manifest = json.load(f)
-            self.clips = [(cid, m["path"]) for cid, m in sorted(manifest.items())]
+        from emox.data import records
+
+        self._store = None
+        if records.is_sharded(cache_dir):
+            # sharded record store: mmap-backed partial reads — the
+            # streaming path for the 36k-clip corpus (emox/data/records.py)
+            self._store = records.ShardedClipStore(cache_dir)
+            self.clips = [(cid, cid) for cid in self._store.clip_ids]
         else:
-            self.clips = [
-                (fn[:-4], os.path.join(cache_dir, fn))
-                for fn in sorted(os.listdir(cache_dir))
-                if fn.endswith(".npz")
-            ]
+            man_path = os.path.join(cache_dir, "manifest.json")
+            if os.path.exists(man_path):
+                with open(man_path) as f:
+                    manifest = json.load(f)
+                self.clips = [(cid, m["path"]) for cid, m in sorted(manifest.items())]
+            else:
+                self.clips = [
+                    (fn[:-4], os.path.join(cache_dir, fn))
+                    for fn in sorted(os.listdir(cache_dir))
+                    if fn.endswith(".npz")
+                ]
         if not self.clips:
             raise ValueError(f"no clips in {cache_dir}")
         self.max_cached_clips = max_cached_clips
@@ -87,6 +96,32 @@ class EMODataset:
                 self._cache.popitem(last=False)
         return clip
 
+    # ---- storage accessors (npz-LRU or sharded-mmap behind one API) ------
+    def _num_frames(self, cid: str, path: str) -> int:
+        if self._store is not None:
+            return self._store.num_frames(cid)
+        return self._load(path)["frames"].shape[0]
+
+    def _get(self, cid: str, path: str, key: str, idx=None) -> np.ndarray:
+        """Array for (clip, key); with idx only those leading-axis rows —
+        the sharded store reads just those pages from disk."""
+        if self._store is not None:
+            return self._store.get(cid, key, idx)
+        a = self._load(path)[key]
+        return a if idx is None else a[np.asarray(idx)]
+
+    def _has(self, cid: str, path: str, key: str) -> bool:
+        if self._store is not None:
+            return self._store.has(cid, key)
+        return key in self._load(path)
+
+    def _augment(self, frames, masks, rng):
+        if self.augment is None:
+            return frames, masks
+        from emox.data.augment import augment_clip
+
+        return augment_clip(frames, masks, self.augment, rng)
+
     def __len__(self) -> int:
         return len(self.clips)
 
@@ -100,48 +135,59 @@ class EMODataset:
         return native.wav_window(wav, s0, s1 - s0)
 
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """Index-first sampling: frame indices are drawn from the clip's
+        metadata BEFORE any pixel data is touched, so only the selected
+        frames are read (+augmented) — whole-clip reads never happen on the
+        sharded store. One shared augmentation covers every fetched frame
+        (temporal + frame/ref consistency, reference Net.py:1244-1252)."""
         cid, path = self.clips[rng.integers(len(self.clips))]
-        clip = self._load(path)
-        frames, masks = clip["frames"], clip["face_masks"]
-        if self.augment is not None:
-            from emox.data.augment import augment_clip
-
-            frames, masks = augment_clip(frames, masks, self.augment, rng)
-        t_total = frames.shape[0]
+        t_total = self._num_frames(cid, path)
         if self.stage == "stage0-facelocator":
             f = int(rng.integers(t_total))
-            item = {"images": frames[f], "masks": masks[f]}
-            if "landmarks" in clip:
-                item["landmarks"] = clip["landmarks"][f]
+            frames = self._get(cid, path, "frames", [f])
+            masks = self._get(cid, path, "face_masks", [f])
+            frames, masks = self._augment(frames, masks, rng)
+            item = {"images": frames[0], "masks": masks[0]}
+            if self._has(cid, path, "landmarks"):
+                item["landmarks"] = self._get(cid, path, "landmarks", [f])[0]
             return item
         if self.stage == "stage1":
-            f, r = rng.integers(t_total, size=2)
-            return {"images": frames[int(f)], "ref_image": frames[int(r)]}
+            f, r = (int(v) for v in rng.integers(t_total, size=2))
+            frames, _ = self._augment(self._get(cid, path, "frames", [f, r]), None, rng)
+            return {"images": frames[0], "ref_image": frames[1]}
         start = int(rng.integers(max(1, t_total - self.num_frames + 1)))
         idx = np.arange(start, start + self.num_frames)
         idx = np.clip(idx, 0, t_total - 1)
-        ref = idx[0] if self.ref_mode == "first" else int(rng.integers(t_total))
-        item = {
-            "frames": frames[idx],
-            "ref_image": frames[int(ref)],
-        }
+        ref = int(idx[0]) if self.ref_mode == "first" else int(rng.integers(t_total))
+        fetch = list(idx)
         if self.num_motion_frames > 0:
             midx = np.clip(np.arange(start - self.num_motion_frames, start), 0, t_total - 1)
-            item["motion_frames"] = frames[midx]
+            fetch += [int(i) for i in midx]
+        fetch.append(ref)
+        need_masks = self.stage in ("stage3", "stage4-control")
+        frames = self._get(cid, path, "frames", fetch)
+        masks = self._get(cid, path, "face_masks", fetch) if need_masks else None
+        frames, masks = self._augment(frames, masks, rng)
+        t = self.num_frames
+        item = {"frames": frames[:t], "ref_image": frames[-1]}
+        if self.num_motion_frames > 0:
+            item["motion_frames"] = frames[t : t + self.num_motion_frames]
         if self.stage == "stage4-control":
             # dense per-frame conditioning renders; the cache may ship real
             # pose renders under "control", else face masks act as the
             # conditioning signal (reference controlnet cond image role)
-            ctrl = clip["control"] if "control" in clip else masks
-            item["control"] = ctrl[idx]
-            return item
-        item["wav"] = self._wav_slice(clip["wav"], start)
-        if self.stage == "stage3":
-            if self.speed_axes == 3 and "pose_vel3" in clip:
-                item["speeds"] = clip["pose_vel3"][idx]  # [T, 3] signed
+            if self._has(cid, path, "control"):
+                item["control"] = self._get(cid, path, "control", idx)
             else:
-                item["speeds"] = clip["pose_speeds"][idx]
-            item["masks"] = masks[idx[0]]  # conditioning mask from first frame
+                item["control"] = masks[:t]
+            return item
+        item["wav"] = self._wav_slice(self._get(cid, path, "wav"), start)
+        if self.stage == "stage3":
+            if self.speed_axes == 3 and self._has(cid, path, "pose_vel3"):
+                item["speeds"] = self._get(cid, path, "pose_vel3", idx)  # [T, 3] signed
+            else:
+                item["speeds"] = self._get(cid, path, "pose_speeds", idx)
+            item["masks"] = masks[0]  # conditioning mask from first frame
         return item
 
 

@@ -139,11 +139,15 @@ class EMOModel:
             img = dec(flat)
         return img.reshape(*shape[:-3], *img.shape[-3:])
 
-    def reference_features(self, params: Params, ref_latent: jax.Array, timesteps: jax.Array):
-        out = self.modules.reference_net.apply(
+    def reference_outputs(self, params: Params, ref_latent: jax.Array, timesteps: jax.Array):
+        """Writer pass: UNetOutputs with ref_features (K/V banks) and — when
+        model.use_gn_ref — ref_gn AdaIN statistic banks."""
+        return self.modules.reference_net.apply(
             {"params": params["reference_net"]}, ref_latent, timesteps, emit_ref=True
         )
-        return out.ref_features
+
+    def reference_features(self, params: Params, ref_latent: jax.Array, timesteps: jax.Array):
+        return self.reference_outputs(params, ref_latent, timesteps).ref_features
 
     def encode_audio(self, params: Params, wav: jax.Array, num_frames: int) -> jax.Array:
         cfg = self.config.audio
@@ -192,7 +196,10 @@ class EMOModel:
         cheaper than the per-sample ref_dropout mask); ref_dropout drops the
         reference per-sample inside one program (CFG batch doubling, training
         conditioning dropout — reference mutual_self_attention.py:243-255)."""
-        ref_feats = None if ref_latent is None else self.reference_features(params, ref_latent, timesteps)
+        ref_feats = ref_gn = None
+        if ref_latent is not None:
+            rout = self.reference_outputs(params, ref_latent, timesteps)
+            ref_feats, ref_gn = rout.ref_features, rout.ref_gn
         control = None
         if control_cond is not None and self.modules.controlnet is not None:
             control = self.modules.controlnet.apply(
@@ -205,6 +212,7 @@ class EMOModel:
             timesteps,
             context=context,
             ref_features=ref_feats,
+            ref_gn=ref_gn,
             audio=audio_windows,
             speeds=speeds,
             face_mask=face_mask,

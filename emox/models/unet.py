@@ -42,6 +42,31 @@ from emox.nn.embeddings import TimestepEmbedder
 class UNetOutputs(NamedTuple):
     sample: jax.Array
     ref_features: Optional[List[List[jax.Array]]]  # per attention site, per depth block
+    # per attention site [B, 1, 1, C, 2] fp32 (spatial mean, var) of the
+    # writer's activations — AdaIN statistic banks (cfg.use_gn_ref,
+    # reference mutual_self_attention.py:319-530)
+    ref_gn: Optional[List[jax.Array]] = None
+
+
+def _adain(h: jax.Array, stats: jax.Array, t: int, style_fidelity: float, drop: Optional[jax.Array]) -> jax.Array:
+    """Renormalise h [(B T), H, W, C] to the writer's spatial statistics
+    (reference mutual_self_attention.py hacked_*_forward read mode: x_uc is
+    the AdaIN'd activation, the uncond half keeps style_fidelity of its own
+    statistics). drop: [(B T)] bool, True = uncond/no-reference sample."""
+    x = h.astype(jnp.float32)
+    m = jnp.mean(x, axis=(1, 2), keepdims=True)
+    v = jnp.mean(jnp.square(x), axis=(1, 2), keepdims=True) - jnp.square(m)
+    std = jnp.sqrt(jnp.maximum(v, 1e-6))
+    mr = jnp.repeat(stats[..., 0], t, axis=0)
+    sr = jnp.sqrt(jnp.maximum(jnp.repeat(stats[..., 1], t, axis=0), 1e-6))
+    x_uc = (x - m) / std * sr + mr
+    if drop is None:
+        out = x_uc  # every sample conditioned: sf*x_uc + (1-sf)*x_uc = x_uc
+    else:
+        d = drop.reshape(-1, 1, 1, 1).astype(jnp.float32)
+        x_c = x * d + x_uc * (1.0 - d)  # uncond keeps its own stats in the x_c term
+        out = style_fidelity * x_c + (1.0 - style_fidelity) * x_uc
+    return out.astype(h.dtype)
 
 
 class UNet(nn.Module):
@@ -73,6 +98,7 @@ class UNet(nn.Module):
         speeds: Optional[jax.Array] = None,  # [B] or [B, T]
         face_mask: Optional[jax.Array] = None,  # [B, H, W, 1] pixel space
         control: Optional[Any] = None,  # ControlSignals (models/controlnet.py)
+        ref_gn: Optional[List[jax.Array]] = None,  # per site [B,1,1,C,2] writer stats
         emit_ref: bool = False,
         ref_dropout: Optional[jax.Array] = None,  # [B] bool, True = this sample sees no ref
     ) -> UNetOutputs:
@@ -81,6 +107,7 @@ class UNet(nn.Module):
             # hard-disable reference conditioning (parity knob for ablations
             # and pure-2D import tests)
             ref_features = None
+            ref_gn = None
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         # rematerialisation: recompute attention-stack activations in the
         # backward pass instead of storing them (reference enabled torch
@@ -126,6 +153,7 @@ class UNet(nn.Module):
             h = h + jnp.repeat(mf, t, axis=0)
 
         banks: List[List[jax.Array]] = []
+        gn_banks: List[jax.Array] = []
         site = 0
 
         drop_frames = None if ref_dropout is None else jnp.repeat(ref_dropout, t, axis=0)
@@ -145,6 +173,13 @@ class UNet(nn.Module):
             )(h, context=ctx_frames, ref_kv=rkv, ref_drop=None if rkv is None else drop_frames)
             if emit_ref:
                 banks.append(bank)
+                if cfg.use_gn_ref:
+                    hf = h.astype(jnp.float32)
+                    m = jnp.mean(hf, axis=(1, 2), keepdims=True)
+                    v = jnp.mean(jnp.square(hf), axis=(1, 2), keepdims=True) - jnp.square(m)
+                    gn_banks.append(jnp.stack([m, v], axis=-1))
+            elif cfg.use_gn_ref and ref_gn is not None:
+                h = _adain(h, ref_gn[site], t, cfg.style_fidelity, drop_frames)
             site += 1
             hv = unfold_time(h, t)
             if cfg.use_audio and audio is not None:
@@ -200,7 +235,11 @@ class UNet(nn.Module):
         out = unfold_time(h, t)
         if squeeze:
             out = out[:, 0]
-        return UNetOutputs(sample=out, ref_features=banks if emit_ref else None)
+        return UNetOutputs(
+            sample=out,
+            ref_features=banks if emit_ref else None,
+            ref_gn=gn_banks if (emit_ref and cfg.use_gn_ref) else None,
+        )
 
 
 def reference_net_config(cfg: ModelConfig) -> ModelConfig:

@@ -140,6 +140,57 @@ class TestDataset:
             EMODataset(cache_dir, "stage9")
 
 
+class TestShardedRecords:
+    def test_roundtrip_parity(self, cache_dir, tmp_path):
+        """write_shards + ShardedClipStore reproduce the npz arrays exactly,
+        including partial (indexed) reads."""
+        from emox.data.records import ShardedClipStore, write_shards
+
+        out = str(tmp_path / "rec")
+        write_shards(cache_dir, out, shard_bytes=1 << 20)
+        store = ShardedClipStore(out)
+        import glob
+        for path in sorted(glob.glob(os.path.join(cache_dir, "*.npz"))):
+            cid = os.path.basename(path)[:-4]
+            clip = dict(np.load(path))
+            assert set(store.keys(cid)) == set(clip)
+            for k, a in clip.items():
+                np.testing.assert_array_equal(store.get(cid, k), a)
+            np.testing.assert_array_equal(
+                store.get(cid, "frames", [0, clip["frames"].shape[0] - 1]),
+                clip["frames"][[0, clip["frames"].shape[0] - 1]],
+            )
+
+    def test_tiny_shard_size_splits(self, cache_dir, tmp_path):
+        """shard_bytes smaller than a clip -> one shard per clip, all readable."""
+        from emox.data.records import ShardedClipStore, write_shards
+
+        out = str(tmp_path / "rec")
+        write_shards(cache_dir, out, shard_bytes=1)
+        store = ShardedClipStore(out)
+        assert len(store._index["shards"]) == len(store.clip_ids)
+        for cid in store.clip_ids:
+            assert store.num_frames(cid) > 0
+            assert np.isfinite(store.get(cid, "frames", [0])).all()
+
+    def test_dataset_sharded_matches_npz(self, cache_dir, tmp_path):
+        """EMODataset over the sharded store yields the same samples as over
+        npz caches for the same seed, every stage."""
+        from emox.data.records import write_shards
+
+        out = str(tmp_path / "rec")
+        write_shards(cache_dir, out)
+        for stage in ("stage0-facelocator", "stage1", "stage2", "stage3"):
+            a = EMODataset(cache_dir, stage, num_frames=4, num_motion_frames=2 if stage == "stage2" else 0)
+            b = EMODataset(out, stage, num_frames=4, num_motion_frames=2 if stage == "stage2" else 0)
+            assert b._store is not None
+            sa = a.sample(np.random.default_rng(7))
+            sb = b.sample(np.random.default_rng(7))
+            assert set(sa) == set(sb)
+            for k in sa:
+                np.testing.assert_array_equal(sa[k], sb[k], err_msg=f"{stage}/{k}")
+
+
 class TestAugment:
     def test_geometry_shared_between_frames_and_masks(self):
         from emox.data.augment import AugmentConfig, augment_clip

@@ -110,6 +110,34 @@ class TestUNet:
         np.testing.assert_allclose(np.asarray(y_mixed[1]), np.asarray(y_ref[1]), atol=1e-5, rtol=1e-5)
         assert not np.allclose(np.asarray(y_ref), np.asarray(y_noref))
 
+    def test_gn_ref_adain_transfer(self):
+        """AdaIN GN-stat mode (reference mutual_self_attention.py:319-530):
+        the writer emits per-site spatial mean/var banks; the reader
+        renormalises to them. Uncond rows with style_fidelity=1 keep their
+        own statistics (x_c term = x), matching the reference's uc_mask."""
+        import dataclasses
+        cfg = dataclasses.replace(tiny_config().model, use_gn_ref=True, style_fidelity=1.0)
+        ref_net = UNet(reference_net_config(cfg))
+        ts = jnp.zeros((2,), jnp.int32)
+        r = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+        rp = ref_net.init(jax.random.PRNGKey(1), r[:1], ts[:1], emit_ref=True)
+        rout = ref_net.apply(rp, r, ts, emit_ref=True)
+        assert rout.ref_gn is not None and len(rout.ref_gn) == len(rout.ref_features)
+        for st in rout.ref_gn:
+            assert st.shape[0] == 2 and st.shape[-1] == 2  # [B,1,1,C,2]
+        den = UNet(cfg)
+        vid = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 8, 8, 4))
+        dp = den.init(jax.random.PRNGKey(3), vid, ts, ref_features=rout.ref_features)
+        y_plain = den.apply(dp, vid, ts, ref_features=rout.ref_features).sample
+        y_adain = den.apply(dp, vid, ts, ref_features=rout.ref_features, ref_gn=rout.ref_gn).sample
+        assert not np.allclose(np.asarray(y_plain), np.asarray(y_adain)), "AdaIN must change the output"
+        # all-dropped rows with style_fidelity=1.0: AdaIN is bypassed entirely
+        y_drop_gn = den.apply(dp, vid, ts, ref_features=rout.ref_features, ref_gn=rout.ref_gn,
+                              ref_dropout=jnp.array([True, True])).sample
+        y_drop = den.apply(dp, vid, ts, ref_features=rout.ref_features,
+                           ref_dropout=jnp.array([True, True])).sample
+        np.testing.assert_allclose(np.asarray(y_drop_gn), np.asarray(y_drop), atol=1e-5, rtol=1e-5)
+
     def test_use_reference_flag_disables_ref(self):
         """ModelConfig.use_reference=False makes ref features a no-op."""
         import dataclasses
@@ -184,6 +212,21 @@ class TestEMOComposition:
         )
         assert pred.shape == vid.shape
         assert model.decode_latents(params, vid).shape == (1, 2, 32, 32, 3)
+
+    def test_gn_ref_mode_through_predict_noise(self):
+        """use_gn_ref threads writer AdaIN banks through EMOModel.predict_noise."""
+        import dataclasses
+        cfg = tiny_config()
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, use_gn_ref=True))
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+        vid = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16, 16, 4))
+        ref = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4))
+        ts = jnp.array([100])
+        rout = model.reference_outputs(params, ref, ts)
+        assert rout.ref_gn is not None
+        pred = model.predict_noise(params, vid, ts, ref)
+        assert pred.shape == vid.shape and bool(jnp.all(jnp.isfinite(pred)))
 
     def test_conditioning_is_identity_at_init(self, emo):
         """Zero-init audio/speed/face layers: removing them changes nothing
