@@ -27,6 +27,7 @@ def _setup():
 
 
 class TestControlNet:
+    @pytest.mark.slow  # >30 s CPU compile; fast tier: -m 'not slow'
     def test_residuals_align_with_unet_skips(self):
         cfg, unet, cnet, u_params, c_params, lat, ts, cond = _setup()
         sig = cnet.apply({"params": c_params}, lat, ts, cond)
@@ -92,6 +93,7 @@ class TestControlNet:
 
 
 class TestEMOControlNet:
+    @pytest.mark.slow  # >30 s CPU compile; fast tier: -m 'not slow'
     def test_predict_noise_with_control(self):
         import dataclasses
         from emox.models.emo import EMOModel

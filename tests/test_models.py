@@ -85,6 +85,7 @@ class TestUNet:
         y2 = den.apply(dp, vid, ts, ref_features=f2).sample
         assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
+    @pytest.mark.slow  # >30 s CPU compile; fast tier: -m 'not slow'
     def test_ref_dropout_equals_no_ref(self):
         """ref_dropout=True rows == running with no ref features at all
         (K/V = [own, own] is exactly plain self-attention) — the true CFG

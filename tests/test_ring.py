@@ -117,6 +117,7 @@ class TestModelRingIntegration:
         y_ring = tt_ring.apply(params, xs)
         np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_plain), atol=3e-5)
 
+    @pytest.mark.slow  # >30 s CPU compile; fast tier: -m 'not slow'
     def test_unet_ring_wired_when_mesh_has_context(self, ring_mesh):
         """EMOModel(mesh=...) predicts identically to the unsharded model."""
         from emox.models.emo import EMOModel

@@ -74,6 +74,7 @@ class TestShardings:
 
 
 class TestDryrun:
+    @pytest.mark.slow  # >30 s CPU compile; fast tier: -m 'not slow'
     def test_dryrun_multichip_8(self, capsys):
         import __graft_entry__ as ge
 
@@ -83,6 +84,7 @@ class TestDryrun:
 
 
 class TestContextShardedInference:
+    @pytest.mark.slow  # >30 s CPU compile; fast tier: -m 'not slow'
     def test_windowed_sampling_on_context_mesh(self):
         """Overlapping denoise windows shard over the mesh context axis
         inside one compiled program (the reference's rank::world_size window
