@@ -1,7 +1,9 @@
 """Transformer blocks: spatial, temporal, and audio-cross attention.
 
-All variants route through emox.ops.dot_product_attention (one Pallas flash
-kernel, different token layouts):
+All variants route through emox.ops.dot_product_attention_nlc (one Pallas
+flash kernel on the packed [N, L, H*D] token layout — heads handled inside
+the kernel, so no head transposes or layout copies — different token
+layouts per variant):
 
   * SpatialTransformer — self-attention over H*W tokens per frame, with
     optional reference-image K/V concatenation. This replaces the reference's
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 
 from emox.nn.blocks import FusedGroupNorm
 from emox.nn.embeddings import sinusoidal_positions
-from emox.ops.attention import dot_product_attention
+from emox.ops.attention import dot_product_attention_nlc
 
 
 class Attention(nn.Module):
@@ -69,14 +71,9 @@ class Attention(nn.Module):
         q = dense(inner, "to_q")(x)
         k = dense(inner, "to_k")(ctx)
         v = dense(inner, "to_v")(ctx)
-
-        def split_heads(t):
-            n, l, _ = t.shape
-            return t.reshape(n, l, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-
-        out = dot_product_attention(split_heads(q), split_heads(k), split_heads(v))
-        n, h, l, d = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(n, l, h * d)
+        # packed layout [N, L, H*D] straight through the kernel — the head
+        # axis never materialises (no transpose, no layout copies)
+        out = dot_product_attention_nlc(q, k, v, self.heads)
         out_init = nn.initializers.zeros if self.zero_init_out else nn.initializers.lecun_normal()
         return nn.Dense(
             out_dim, kernel_init=out_init, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out"

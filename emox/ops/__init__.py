@@ -8,13 +8,21 @@ xformers `memory_efficient_attention` and sliced-attention paths
 magicanimate/models/unet_controlnet.py:259-322).
 """
 
-from emox.ops.attention import dot_product_attention, attention_xla, flash_attention
+from emox.ops.attention import (
+    attention_xla,
+    dot_product_attention,
+    dot_product_attention_nlc,
+    flash_attention,
+    flash_attention_nlc,
+)
 from emox.ops.groupnorm import group_norm, group_norm_silu
 
 __all__ = [
     "dot_product_attention",
+    "dot_product_attention_nlc",
     "attention_xla",
     "flash_attention",
+    "flash_attention_nlc",
     "group_norm",
     "group_norm_silu",
 ]

@@ -5,8 +5,71 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from emox.ops.attention import attention_xla, flash_attention, dot_product_attention
+from emox.ops.attention import (
+    attention_xla,
+    dot_product_attention,
+    dot_product_attention_nlc,
+    flash_attention,
+    flash_attention_nlc,
+)
 from emox.ops.groupnorm import group_norm, group_norm_xla
+
+
+def _nlc_ref(q, k, v, heads, scale=None):
+    """XLA reference on the packed [N, L, H*D] layout."""
+    n, l, c = q.shape
+    d = c // heads
+    split = lambda t: t.reshape(t.shape[0], t.shape[1], heads, d).transpose(0, 2, 1, 3)
+    out = attention_xla(split(q), split(k), split(v), scale)
+    return out.transpose(0, 2, 1, 3).reshape(n, l, c)
+
+
+class TestFlashAttentionNLC:
+    """Packed-layout kernel: heads via block indexing, no transposes."""
+
+    @pytest.mark.parametrize(
+        "n,heads,lq,lk,d",
+        [
+            (2, 2, 64, 64, 64),     # self-attn, multi-head
+            (1, 4, 100, 300, 64),   # ragged lengths, cross
+            (2, 1, 128, 128, 128),  # single head, wide d (VAE mid-attn)
+            (1, 3, 40, 550, 64),    # non-divisible lengths
+        ],
+    )
+    def test_matches_xla(self, n, heads, lq, lk, d):
+        c = heads * d
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(k1, (n, lq, c), jnp.float32)
+        k = jax.random.normal(k2, (n, lk, c), jnp.float32)
+        v = jax.random.normal(k3, (n, lk, c), jnp.float32)
+        ref = _nlc_ref(q, k, v, heads)
+        out = flash_attention_nlc(q, k, v, heads, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_grad_matches_xla(self):
+        n, heads, lq, lk, d = 1, 2, 64, 200, 64
+        c = heads * d
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = jax.random.normal(k1, (n, lq, c), jnp.float32)
+        k = jax.random.normal(k2, (n, lk, c), jnp.float32)
+        v = jax.random.normal(k3, (n, lk, c), jnp.float32)
+
+        def loss(f):
+            return lambda q, k, v: jnp.sum(f(q, k, v) ** 2)
+
+        gp = jax.grad(loss(lambda q, k, v: flash_attention_nlc(q, k, v, heads, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss(lambda q, k, v: _nlc_ref(q, k, v, heads)), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5)
+
+    def test_dispatch_fallback_odd_head_dim(self, monkeypatch):
+        """d % 64 != 0 falls back to the transposed path (still correct)."""
+        monkeypatch.setenv("EMOX_ATTENTION_IMPL", "xla")
+        n, heads, l, d = 1, 2, 32, 40
+        c = heads * d
+        q = jax.random.normal(jax.random.PRNGKey(2), (n, l, c))
+        out = dot_product_attention_nlc(q, q, q, heads)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(_nlc_ref(q, q, q, heads)), atol=2e-5, rtol=2e-5)
 
 
 class TestFlashAttention:
