@@ -834,6 +834,12 @@ def dot_product_attention_nlc(
     d = q.shape[-1] // heads
     impl = impl or _default_impl()
     if impl == "auto":
+        # Same measured cutoff as the BHLD path. Isolated small-shape
+        # timings flatter the packed kernel (the ~1 ms dispatch floor
+        # dominates them), but end-to-end the always-pallas variant LOSES:
+        # flagship 256^2 bench 21.5 vs 22.8 steps/s — XLA fuses the tiny
+        # temporal/audio attentions into neighbouring elementwise work,
+        # which a custom-call boundary forfeits.
         impl = "pallas" if k.shape[1] >= _PALLAS_MIN_KV else "xla"
     if impl in ("pallas", "pallas_interpret") and d % 64 == 0:
         return flash_attention_nlc(q, k, v, heads, scale, interpret=impl == "pallas_interpret")
