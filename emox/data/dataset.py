@@ -192,36 +192,55 @@ class EMODataset:
 
 
 class DataLoader:
-    """Batched iterator with deterministic shuffling + optional background
-    prefetch thread (host-side double buffering)."""
+    """Batched iterator with deterministic shuffling + background prefetch.
 
-    def __init__(self, dataset: EMODataset, batch_size: int, seed: int = 0, prefetch: int = 2):
+    num_workers=1 (default): one prefetch thread, fully deterministic batch
+    stream for a given seed. num_workers>1: a thread pool where worker w
+    draws from its own seeded RNG stream (seed+w) — per-batch contents stay
+    reproducible but arrival ORDER depends on thread scheduling; use for
+    throughput on the full corpus where augmentation + record reads (zlib /
+    native augment kernels release the GIL) dominate."""
+
+    def __init__(
+        self,
+        dataset: EMODataset,
+        batch_size: int,
+        seed: int = 0,
+        prefetch: int = 2,
+        num_workers: int = 1,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
 
     def _make_batch(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         items = [self.dataset.sample(rng) for _ in range(self.batch_size)]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.default_rng(self.seed)
         if self.prefetch <= 0:
+            rng = np.random.default_rng(self.seed)
             while True:
                 yield self._make_batch(rng)
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=max(self.prefetch, self.num_workers))
         stop = threading.Event()
 
-        def worker():
+        def worker(wid: int):
+            rng = np.random.default_rng(self.seed + wid)
             while not stop.is_set():
                 try:
                     q.put(self._make_batch(rng), timeout=0.5)
                 except queue_mod.Full:
                     continue
 
-        th = threading.Thread(target=worker, daemon=True)
-        th.start()
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for th in threads:
+            th.start()
         try:
             while True:
                 yield q.get()

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -123,6 +124,7 @@ class ShardedClipStore:
             self._index = json.load(f)
         self._root = root
         self._maps: List[Optional[np.memmap]] = [None] * len(self._index["shards"])
+        self._map_lock = threading.Lock()  # lazy-open races (multi-worker loader)
 
     @property
     def clip_ids(self) -> List[str]:
@@ -142,8 +144,10 @@ class ShardedClipStore:
 
     def _mmap(self, i: int) -> np.memmap:
         if self._maps[i] is None:
-            path = os.path.join(self._root, self._index["shards"][i])
-            self._maps[i] = np.memmap(path, dtype=np.uint8, mode="r")
+            with self._map_lock:
+                if self._maps[i] is None:
+                    path = os.path.join(self._root, self._index["shards"][i])
+                    self._maps[i] = np.memmap(path, dtype=np.uint8, mode="r")
         return self._maps[i]
 
     def _view(self, cid: str, key: str) -> np.ndarray:

@@ -4,6 +4,7 @@ zero-init no-op behaviour, from_unet trunk seeding, scale knob."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from emox.models.controlnet import (
     ControlNetEncoder,

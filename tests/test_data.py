@@ -135,6 +135,15 @@ class TestDataset:
         assert b1["images"].shape == (3, 32, 32, 3)
         np.testing.assert_array_equal(b1["images"], b2["images"])
 
+    def test_loader_multi_worker(self, cache_dir):
+        """num_workers>1: thread pool produces well-formed batches."""
+        ds = EMODataset(cache_dir, "stage1", num_frames=4)
+        it = iter(DataLoader(ds, batch_size=2, seed=3, prefetch=4, num_workers=3))
+        for _ in range(6):
+            b = next(it)
+            assert b["images"].shape == (2, 32, 32, 3)
+            assert np.isfinite(b["images"]).all()
+
     def test_bad_stage_raises(self, cache_dir):
         with pytest.raises(ValueError):
             EMODataset(cache_dir, "stage9")
