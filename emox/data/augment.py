@@ -93,17 +93,44 @@ def augment_frame(frame: np.ndarray, p: AugmentParams, out_h: int, out_w: int, c
     return apply_color(geo, p, pivot=pivot)
 
 
+# landmark row order (emox/data/fixtures.py / face.py CANONICAL_3D):
+# nose, chin, left eye, right eye, left mouth, right mouth — a horizontal
+# flip must swap the left/right pairs as well as mirroring x
+_FLIP_LANDMARK_ORDER = np.array([0, 1, 3, 2, 5, 4])
+
+
+def apply_geometry_points(pts: np.ndarray, p: AugmentParams, in_h: int, in_w: int) -> np.ndarray:
+    """Normalised (y, x) [..., 6, 2] landmarks through the same
+    crop/flip/resize geometry as apply_geometry (resize keeps normalised
+    coords; crop rescales; flip mirrors x AND swaps left/right rows).
+    Points cropped out are clipped to the [0, 1] frame edge."""
+    out = np.asarray(pts, np.float32).copy()
+    y = (out[..., 0] * in_h - p.y0) / p.crop_h
+    x = (out[..., 1] * in_w - p.x0) / p.crop_w
+    if p.flip:
+        x = 1.0 - x
+        y = y[..., _FLIP_LANDMARK_ORDER]
+        x = x[..., _FLIP_LANDMARK_ORDER]
+    out[..., 0] = np.clip(y, 0.0, 1.0)
+    out[..., 1] = np.clip(x, 0.0, 1.0)
+    return out
+
+
 def augment_clip(
     frames: np.ndarray,  # [T, H, W, 3] in [-1, 1]
     masks: Optional[np.ndarray],  # [T, H, W, 1] or None
     cfg: AugmentConfig,
     rng: np.random.Generator,
-) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    points: Optional[np.ndarray] = None,  # [..., 6, 2] normalised (y, x)
+):
     """One shared AugmentParams for the whole clip: temporal consistency,
-    and frame/mask geometric alignment (the invariant the reference's
-    shared-RNG dance exists to guarantee)."""
+    and frame/mask/landmark geometric alignment (the invariant the
+    reference's shared-RNG dance exists to guarantee).
+
+    Returns (frames, masks) — or (frames, masks, points) when `points` is
+    given, transformed through the same geometry."""
     if not cfg.enabled:
-        return frames, masks
+        return (frames, masks) if points is None else (frames, masks, points)
     t, h, w = frames.shape[:3]
     p = sample_params(cfg, rng, h, w)
     out_frames = np.stack([augment_frame(f, p, h, w, color=True) for f in frames])
@@ -113,4 +140,6 @@ def augment_clip(
             (augment_frame(m.astype(np.float32), p, h, w, color=False) > 0.5).astype(np.float32)
             for m in masks
         ])
-    return out_frames, out_masks
+    if points is None:
+        return out_frames, out_masks
+    return out_frames, out_masks, apply_geometry_points(points, p, h, w)

@@ -115,12 +115,12 @@ class EMODataset:
             return self._store.has(cid, key)
         return key in self._load(path)
 
-    def _augment(self, frames, masks, rng):
+    def _augment(self, frames, masks, rng, points=None):
         if self.augment is None:
-            return frames, masks
+            return (frames, masks) if points is None else (frames, masks, points)
         from emox.data.augment import augment_clip
 
-        return augment_clip(frames, masks, self.augment, rng)
+        return augment_clip(frames, masks, self.augment, rng, points=points)
 
     def __len__(self) -> int:
         return len(self.clips)
@@ -146,11 +146,14 @@ class EMODataset:
             f = int(rng.integers(t_total))
             frames = self._get(cid, path, "frames", [f])
             masks = self._get(cid, path, "face_masks", [f])
-            frames, masks = self._augment(frames, masks, rng)
-            item = {"images": frames[0], "masks": masks[0]}
             if self._has(cid, path, "landmarks"):
-                item["landmarks"] = self._get(cid, path, "landmarks", [f])[0]
-            return item
+                # landmark targets go through the SAME crop/flip geometry as
+                # the image they supervise (incl. left/right point swap)
+                lms = self._get(cid, path, "landmarks", [f])
+                frames, masks, lms = self._augment(frames, masks, rng, points=lms)
+                return {"images": frames[0], "masks": masks[0], "landmarks": lms[0]}
+            frames, masks = self._augment(frames, masks, rng)
+            return {"images": frames[0], "masks": masks[0]}
         if self.stage == "stage1":
             f, r = (int(v) for v in rng.integers(t_total, size=2))
             frames, _ = self._augment(self._get(cid, path, "frames", [f, r]), None, rng)
@@ -164,11 +167,20 @@ class EMODataset:
             midx = np.clip(np.arange(start - self.num_motion_frames, start), 0, t_total - 1)
             fetch += [int(i) for i in midx]
         fetch.append(ref)
-        need_masks = self.stage in ("stage3", "stage4-control")
-        frames = self._get(cid, path, "frames", fetch)
-        masks = self._get(cid, path, "face_masks", fetch) if need_masks else None
-        frames, masks = self._augment(frames, masks, rng)
         t = self.num_frames
+        # fetch masks only where they are actually consumed: stage 3 uses
+        # the FIRST frame's mask, stage 4 uses masks only as the fallback
+        # conditioning signal when no "control" renders are cached
+        has_control = self.stage == "stage4-control" and self._has(cid, path, "control")
+        if self.stage == "stage3":
+            mask_rows = [fetch[0]]
+        elif self.stage == "stage4-control" and not has_control:
+            mask_rows = fetch[:t]
+        else:
+            mask_rows = None
+        frames = self._get(cid, path, "frames", fetch)
+        masks = self._get(cid, path, "face_masks", mask_rows) if mask_rows else None
+        frames, masks = self._augment(frames, masks, rng)
         item = {"frames": frames[:t], "ref_image": frames[-1]}
         if self.num_motion_frames > 0:
             item["motion_frames"] = frames[t : t + self.num_motion_frames]
@@ -176,14 +188,17 @@ class EMODataset:
             # dense per-frame conditioning renders; the cache may ship real
             # pose renders under "control", else face masks act as the
             # conditioning signal (reference controlnet cond image role)
-            if self._has(cid, path, "control"):
-                item["control"] = self._get(cid, path, "control", idx)
-            else:
-                item["control"] = masks[:t]
+            item["control"] = self._get(cid, path, "control", idx) if has_control else masks
             return item
         item["wav"] = self._wav_slice(self._get(cid, path, "wav"), start)
         if self.stage == "stage3":
-            if self.speed_axes == 3 and self._has(cid, path, "pose_vel3"):
+            if self.speed_axes == 3:
+                if not self._has(cid, path, "pose_vel3"):
+                    raise ValueError(
+                        f"clip {cid}: dataset configured with speed_axes=3 but the cache "
+                        "has no 'pose_vel3' (per-axis signed velocities). Re-run "
+                        "`emox precompute` with a landmark provider, or set speed_axes=1."
+                    )
                 item["speeds"] = self._get(cid, path, "pose_vel3", idx)  # [T, 3] signed
             else:
                 item["speeds"] = self._get(cid, path, "pose_speeds", idx)
@@ -217,7 +232,13 @@ class DataLoader:
 
     def _make_batch(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         items = [self.dataset.sample(rng) for _ in range(self.batch_size)]
-        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+        # keys present in EVERY item: optional per-clip keys (e.g. stage-0
+        # "landmarks" on a cache mixing annotated and bare clips) drop for
+        # the batch instead of raising KeyError in the worker thread
+        keys = set(items[0])
+        for it in items[1:]:
+            keys &= set(it)
+        return {k: np.stack([it[k] for it in items]) for k in keys}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:
@@ -229,9 +250,15 @@ class DataLoader:
 
         def worker(wid: int):
             rng = np.random.default_rng(self.seed + wid)
+            pending = None  # retry the SAME batch when the queue is full —
+            # dropping it would make the consumed stream depend on consumer
+            # timing (and waste the decode/augment work)
             while not stop.is_set():
+                if pending is None:
+                    pending = self._make_batch(rng)
                 try:
-                    q.put(self._make_batch(rng), timeout=0.5)
+                    q.put(pending, timeout=0.5)
+                    pending = None
                 except queue_mod.Full:
                     continue
 

@@ -130,6 +130,7 @@ def precompute_clip(
         wav = clip.get("wav", np.zeros(int(len(frames) / fps * sample_rate), np.float32))
         masks = clip.get("face_masks")
         speeds = clip.get("pose_speeds")
+        vel3 = clip.get("pose_vel3")
         landmarks = clip.get("landmarks")
     else:
         meta = clip_meta or {}
@@ -144,24 +145,37 @@ def precompute_clip(
             wav = wav[s0 : int(s1 * sample_rate) if s1 is not None else None]
         if wav is None:
             wav = np.zeros(int(len(frames) / fps * sample_rate), np.float32)
-        masks = speeds = None
+        masks = speeds = vel3 = None
 
     fh = face_helper or FaceHelper()
     if masks is None:
         masks = np.stack([fh.face_mask(f) for f in frames])
-    vel3 = None
-    if fh.landmark_fn is not None:
-        # full pose series -> scalar speeds AND signed per-axis velocities
-        from emox.data.face import pose_velocities, pose_velocities_3d
+    if fh.landmark_fn is not None and (speeds is None or vel3 is None or landmarks is None):
+        # one landmark detection per frame feeds pose series (scalar speeds
+        # AND signed per-axis velocities) plus the persisted normalised
+        # (y, x) landmark targets. Clip-provided ground truth is never
+        # overwritten — only missing keys are filled.
+        from emox.data.face import head_pose_from_landmarks, pose_velocities, pose_velocities_3d
 
-        poses, last = [], np.zeros(3, np.float32)
+        h, w = frames.shape[1:3]
+        lms, poses, last = [], [], np.zeros(3, np.float32)
         for fr in frames:
-            p = fh.head_pose(fr)
-            last = p if p is not None else last
+            lm = fh.landmark_fn(fr)
+            if lm is not None:
+                lm = np.asarray(lm, np.float32)
+                p = head_pose_from_landmarks(lm, h, w)
+                last = p if p is not None else last
+                lms.append(np.stack([lm[:, 1] / h, lm[:, 0] / w], axis=-1))  # pixel (x,y) -> norm (y,x)
+            else:
+                lms.append(np.full((6, 2), 0.5, np.float32))
             poses.append(last)
         poses = np.stack(poses)
-        speeds = pose_velocities(poses, fps)
-        vel3 = pose_velocities_3d(poses, fps)
+        if speeds is None:
+            speeds = pose_velocities(poses, fps)
+        if vel3 is None:
+            vel3 = pose_velocities_3d(poses, fps)
+        if landmarks is None:
+            landmarks = np.clip(np.stack(lms), 0.0, 1.0)
     if speeds is None:
         speeds = np.zeros(len(frames), np.float32)
     if vel3 is None:

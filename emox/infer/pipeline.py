@@ -78,6 +78,15 @@ class EMOPipeline:
         plus empty-prompt embeddings, EMOAnimationPipeline.py:641-679).
         Audio is zeroed for the uncond half. With cfg_batching the two
         branches run as one doubled-batch call.
+
+        With model.use_gn_ref the two modes are intentionally NOT
+        numerically identical: the batched program applies the reference's
+        exact uncond semantics (the uncond half keeps style_fidelity of its
+        own GroupNorm statistics and (1-style_fidelity) of the AdaIN'd
+        ones, mutual_self_attention.py read mode), while the two-call
+        program (ref_latent=None) runs a pure no-reference uncond — the
+        style_fidelity=1 limit. Use cfg_batching=True for reference-faithful
+        AdaIN guidance.
         """
         if guidance_scale == 1.0:
             return self.model.predict_noise(

@@ -125,7 +125,7 @@ class TransformerBlock(nn.Module):
         # frames' normed tokens (first + previous), not this frame's
         # (reference magicanimate/models/attention.py SparseCausalAttention2D)
         sc_kv = sc_gather(normed1) if sc_gather is not None else None
-        if ref_kv is not None and ref_drop is not None:
+        if ref_kv is not None and ref_drop is not None and sc_kv is None:
             # True "no reference" rows: substituting the row's OWN normed
             # tokens for the ref tokens makes K/V = [own, own], and softmax
             # over duplicated tokens equals plain self-attention exactly —
@@ -133,7 +133,18 @@ class TransformerBlock(nn.Module):
             # mutual_self_attention.py:243-255) without a second program.
             # Used for the CFG uncond half and training-time ref dropout.
             ref_kv = jnp.where(ref_drop[:, None, None], normed1, ref_kv.astype(normed1.dtype))
-        x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv)
+            x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv)
+        elif ref_kv is not None and ref_drop is not None:
+            # sparse-causal K/V base is [first, prev] tokens, whose length
+            # differs from the ref bank, so the duplication trick above
+            # cannot express "no reference" — run both branches and select
+            # per row (exact, paid only in the rare sc+ref-dropout combo)
+            a1 = attn("attn1")
+            with_ref = a1(normed1, context=sc_kv, extra_kv=ref_kv.astype(normed1.dtype))
+            without = a1(normed1, context=sc_kv)
+            x = x + jnp.where(ref_drop[:, None, None], without, with_ref)
+        else:
+            x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv)
         if self.use_cross and context is not None:
             x = x + attn("attn2")(ln("norm2")(x), context=context)
         x = x + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))

@@ -135,6 +135,38 @@ class TestDataset:
         assert b1["images"].shape == (3, 32, 32, 3)
         np.testing.assert_array_equal(b1["images"], b2["images"])
 
+    def test_stage0_landmarks_follow_augmentation(self, cache_dir):
+        """Augmented stage-0 samples transform landmark targets through the
+        SAME geometry as the image (incl. flip left/right point swap)."""
+        from emox.data.augment import AugmentConfig
+
+        ds = EMODataset(cache_dir, "stage0-facelocator",
+                        augment=AugmentConfig(horizontal_flip=1.0, crop_scale_min=1.0, brightness=0, contrast=0))
+        ds_plain = EMODataset(cache_dir, "stage0-facelocator")
+        s_aug = ds.sample(np.random.default_rng(5))
+        s_plain = ds_plain.sample(np.random.default_rng(5))
+        if "landmarks" not in s_plain:
+            pytest.skip("fixture cache has no landmarks")
+        lm_a, lm_p = s_aug["landmarks"], s_plain["landmarks"]
+        # full-frame crop + guaranteed flip: y equal, x mirrored, l/r swapped
+        order = [0, 1, 3, 2, 5, 4]
+        np.testing.assert_allclose(lm_a[:, 0], lm_p[order, 0], atol=1e-5)
+        np.testing.assert_allclose(lm_a[:, 1], 1.0 - lm_p[order, 1], atol=1e-5)
+
+    def test_stage3_missing_vel3_raises_clearly(self, cache_dir, tmp_path):
+        """speed_axes=3 over a cache without pose_vel3 -> clear error, not a
+        shape crash inside the jitted step."""
+        import glob, shutil
+        old = str(tmp_path / "old_cache")
+        os.makedirs(old)
+        for p in glob.glob(os.path.join(cache_dir, "*.npz")):
+            clip = dict(np.load(p))
+            clip.pop("pose_vel3", None)
+            np.savez_compressed(os.path.join(old, os.path.basename(p)), **clip)
+        ds = EMODataset(old, "stage3", num_frames=4, speed_axes=3)
+        with pytest.raises(ValueError, match="pose_vel3"):
+            ds.sample(np.random.default_rng(0))
+
     def test_loader_multi_worker(self, cache_dir):
         """num_workers>1: thread pool produces well-formed batches."""
         ds = EMODataset(cache_dir, "stage1", num_frames=4)

@@ -133,6 +133,27 @@ class TestSparseCausal:
         np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-6)
         assert not np.allclose(np.asarray(out[2]), np.asarray(out2[2]))
 
+    def test_sparse_causal_ref_dropout_exact(self):
+        """With sparse-causal K/V the duplication trick can't express
+        ref-dropout (base length != ref length); dropped rows must equal the
+        no-ref program EXACTLY via the two-branch select."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from emox.nn.attention_blocks import SpatialTransformer
+
+        b, t, c = 1, 3, 8
+        st = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True, num_frames=t)
+        x = jax.random.normal(jax.random.PRNGKey(0), (b * t, 2, 2, c))
+        ref = [jax.random.normal(jax.random.PRNGKey(2), (b * t, 5, c))]
+        params = st.init(jax.random.PRNGKey(1), x, ref_kv=ref)
+        drop_all = jnp.ones((b * t,), bool)
+        out_drop, _ = st.apply(params, x, ref_kv=ref, ref_drop=drop_all)
+        out_noref, _ = st.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out_drop), np.asarray(out_noref), atol=1e-6)
+        out_ref, _ = st.apply(params, x, ref_kv=ref, ref_drop=jnp.zeros((b * t,), bool))
+        assert not np.allclose(np.asarray(out_ref), np.asarray(out_noref))
+
     def test_off_by_default_matches_plain(self):
         import jax
         import numpy as np
