@@ -28,7 +28,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # train-step/sampler programs (CPU compiles of the full EMO step take
 # minutes each)
 jax.config.update("jax_compilation_cache_dir", os.environ.get("EMOX_JAX_CACHE", "/tmp/emox_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402

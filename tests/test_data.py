@@ -309,6 +309,7 @@ class TestLandmarkProvider:
             y, x = (lm[f, 0] * 64).astype(int)
             assert clip["face_masks"][f, y, x, 0] == 1.0
 
+    @pytest.mark.slow  # >15 s CPU compile; fast tier: -m 'not slow'
     def test_landmark_net_trains_on_fixtures(self):
         """Stage-0 joint training: landmark MSE decreases on fixture clips
         (the trained MediaPipe replacement, VERDICT item 4)."""
@@ -390,6 +391,7 @@ class TestLandmarkProvider:
         assert out["pose_vel3"].shape == (8, 3)
         assert np.any(np.abs(out["pose_vel3"]) > 0)
 
+    @pytest.mark.slow  # >15 s CPU compile; fast tier: -m 'not slow'
     def test_per_axis_speed_model(self):
         """speed_axes=3 model consumes [B, T, 3] signed velocities."""
         import dataclasses

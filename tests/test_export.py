@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from emox.infer.export import export_denoise_step, load_exported, save_exported
 from emox.models.emo import EMOModel
@@ -10,6 +11,7 @@ from test_models import tiny_config
 
 
 class TestExport:
+    @pytest.mark.slow  # >15 s CPU compile; fast tier: -m 'not slow'
     def test_roundtrip(self, tmp_path):
         cfg = tiny_config()
         model = EMOModel(cfg)

@@ -113,6 +113,7 @@ class TestUNetParity:
 
 
 class TestWav2Vec2Parity:
+    @pytest.mark.slow  # >15 s CPU compile; fast tier: -m 'not slow'
     def test_forward_match_vs_transformers(self):
         """Import a random-init HuggingFace Wav2Vec2Model (tiny config) and
         match its forward output exactly."""

@@ -111,6 +111,7 @@ class TestUNet:
         np.testing.assert_allclose(np.asarray(y_mixed[1]), np.asarray(y_ref[1]), atol=1e-5, rtol=1e-5)
         assert not np.allclose(np.asarray(y_ref), np.asarray(y_noref))
 
+    @pytest.mark.slow  # >15 s CPU compile; fast tier: -m 'not slow'
     def test_gn_ref_adain_transfer(self):
         """AdaIN GN-stat mode (reference mutual_self_attention.py:319-530):
         the writer emits per-site spatial mean/var banks; the reader

@@ -78,6 +78,7 @@ class TestRingAttention:
         out = ring_frame_attention(qs, ks, vs, ring_mesh)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.slow  # >15 s CPU compile; fast tier: -m 'not slow'
     def test_frame_ring_gradients(self, ring_mesh):
         b, t, l, h, d = 1, 8, 4, 2, 8
         q = jax.random.normal(jax.random.PRNGKey(0), (b, t, l, h, d))
@@ -135,6 +136,7 @@ class TestModelRingIntegration:
         y_ring = model_ring.predict_noise(params, lat_s, ts, ref)
         np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_plain), atol=5e-5)
 
+    @pytest.mark.slow  # >15 s CPU compile; fast tier: -m 'not slow'
     def test_gradients_match_dense(self, ring_mesh):
         """Ring attention is trainable: grads wrt q/k/v match dense."""
         q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 64, 8))
