@@ -24,6 +24,11 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: the flagship program cold-compiles in
+# minutes (packed pallas kernels ~5 min/shape through the axon compile
+# helper); cached reruns start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/emox_tpu_cache")
+
 
 def main() -> None:
     import jax
