@@ -156,7 +156,7 @@ class TestDataset:
     def test_stage3_missing_vel3_raises_clearly(self, cache_dir, tmp_path):
         """speed_axes=3 over a cache without pose_vel3 -> clear error, not a
         shape crash inside the jitted step."""
-        import glob, shutil
+        import glob
         old = str(tmp_path / "old_cache")
         os.makedirs(old)
         for p in glob.glob(os.path.join(cache_dir, "*.npz")):
