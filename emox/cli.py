@@ -108,10 +108,33 @@ def cmd_pack_records(args) -> int:
     return 0
 
 
+def build_train_data(cfg, stage: int, stage_name: str):
+    """Dataset + loader exactly as DataConfig/AugmentConfig specify
+    (augmentation, motion-frame priming, stage>=2 first-frame reference,
+    multi-worker prefetch) — the round-2 CLI ignored all of these."""
+    from emox.data.dataset import DataLoader, EMODataset
+
+    ds = EMODataset(
+        cfg.data.cache_dir, stage_name, num_frames=cfg.data.num_frames,
+        audio_context_frames=cfg.audio.context_frames, sample_rate=cfg.audio.sample_rate,
+        fps=cfg.audio.video_fps, speed_axes=cfg.model.speed_axes,
+        augment=cfg.augment if cfg.augment.enabled else None,
+        num_motion_frames=cfg.data.num_motion_frames if stage >= 1 else 0,
+        # stage >= 2: clip frame 0 is the identity reference (the reference's
+        # convention, reference train_stage_2_temporal_audio.py first frame)
+        ref_mode="first" if stage >= 2 else "random",
+    )
+    dl = DataLoader(
+        ds, batch_size=cfg.data.batch_size, seed=cfg.data.seed,
+        num_workers=max(1, cfg.data.num_workers),
+        prefetch=0 if cfg.data.num_workers == 0 else 2,
+    )
+    return ds, dl
+
+
 def cmd_train(args) -> int:
     from emox.comm.runtime import initialize_distributed
     from emox.core.config import save_config
-    from emox.data.dataset import DataLoader, EMODataset
     from emox.train.stages import STAGE_DESCRIPTIONS
     from emox.train.trainer import Trainer
 
@@ -136,12 +159,7 @@ def cmd_train(args) -> int:
     os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
     save_config(cfg, os.path.join(cfg.train.checkpoint_dir, f"stage{stage}_config.yaml"))
 
-    ds = EMODataset(
-        cfg.data.cache_dir, stage_name, num_frames=cfg.data.num_frames,
-        audio_context_frames=cfg.audio.context_frames, sample_rate=cfg.audio.sample_rate,
-        fps=cfg.audio.video_fps, speed_axes=cfg.model.speed_axes,
-    )
-    dl = DataLoader(ds, batch_size=cfg.data.batch_size, seed=cfg.data.seed)
+    ds, dl = build_train_data(cfg, stage, stage_name)
     metrics = trainer.fit(dl)
     print(json.dumps({"final_step": int(trainer.state.step), **metrics}))
     return 0
@@ -161,7 +179,7 @@ def cmd_infer(args) -> int:
     model = EMOModel(cfg)
     if args.params:
         ckpt = Checkpointer(args.params)
-        params = ckpt.restore_params()
+        params = ckpt.restore_params(use_ema=args.ema)
         if params is None:
             raise SystemExit(f"no checkpoint under {args.params}")
     else:
@@ -190,16 +208,30 @@ def cmd_infer(args) -> int:
     elif args.face_mask:
         face_mask = jnp.asarray(_load_image(args.face_mask, cfg.inference.width, cfg.inference.height)[None, ..., :1])
 
+    speeds = _parse_speeds(args.speeds, total, cfg.model.speed_axes)
+    tokenizer = None
+    if args.prompt is not None:
+        from emox.data.tokenizer import CLIPTokenizer
+
+        tokenizer = CLIPTokenizer(args.vocab)
+        if tokenizer.is_fallback:
+            print("NOTE: no CLIP vocab file (--vocab/EMOX_CLIP_VOCAB); using "
+                  "byte-level fallback tokenization")
+
     pipe = EMOPipeline(model, cfg)
     if total > cfg.inference.context_frames and args.autoregressive:
         frames = pipe.generate_long(
             params, jnp.asarray(ref[None]), jnp.asarray(wav[None]), total_frames=total,
             segment_length=cfg.inference.context_frames,
+            speeds=speeds, prompt=args.prompt, negative_prompt=args.negative_prompt,
+            tokenizer=tokenizer, use_identity=args.identity,
         )
     else:
         frames = pipe(
             params, jnp.asarray(ref[None]), jnp.asarray(wav[None]), video_length=total,
             num_inference_steps=args.steps, guidance_scale=args.guidance, face_mask=face_mask,
+            speeds=speeds, prompt=args.prompt, negative_prompt=args.negative_prompt,
+            tokenizer=tokenizer, use_identity=args.identity,
         )
     out = save_video(np.asarray(frames[0]), args.out, fps=fps, wav=wav, sample_rate=sr)
     print(f"wrote {out} ({total} frames @ {fps} fps)")
@@ -244,7 +276,7 @@ def cmd_export(args) -> int:
     cfg = _load_config(args)
     model = EMOModel(cfg)
     if args.params:
-        params = Checkpointer(args.params).restore_params()
+        params = Checkpointer(args.params).restore_params(use_ema=args.ema)
         if params is None:
             raise SystemExit(f"no checkpoint under {args.params}")
     else:
@@ -278,6 +310,33 @@ def _flatten(tree: Dict, prefix: str = "") -> Dict[str, Any]:
         else:
             out[p] = v
     return out
+
+
+def _parse_speeds(spec, total_frames: int, speed_axes: int):
+    """--speeds: .npy path ([T] or [T, A]) or comma-separated floats (one
+    per axis, held constant over the clip). Reaches the trained stage-3
+    speed conditioning (reference EMOAnimationPipeline.py:577
+    head_rotation_speeds)."""
+    if not spec:
+        return None
+    import numpy as np
+    import jax.numpy as jnp
+
+    if os.path.exists(spec):
+        arr = np.load(spec).astype(np.float32)
+        if arr.ndim == 1:
+            arr = arr[:, None] if speed_axes > 1 else arr
+    else:
+        vals = np.asarray([float(v) for v in spec.split(",")], np.float32)
+        arr = np.tile(vals[None], (total_frames, 1)) if speed_axes > 1 else np.full(
+            (total_frames,), vals[0], np.float32)
+    # pad/trim to the clip length
+    if arr.shape[0] < total_frames:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], total_frames - arr.shape[0], axis=0)])
+    arr = arr[:total_frames]
+    if speed_axes > 1 and (arr.ndim != 2 or arr.shape[1] != speed_axes):
+        raise SystemExit(f"--speeds needs {speed_axes} axes, got shape {arr.shape}")
+    return jnp.asarray(arr[None])
 
 
 def _load_image(path: str, width: int, height: int):
@@ -372,6 +431,16 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--guidance", type=float, default=None)
     pi.add_argument("--autoregressive", action="store_true")
     pi.add_argument("--face-mask", default=None, help="'auto' (FaceLocator) or mask image path")
+    pi.add_argument("--speeds", default=None,
+                    help="head-rotation speeds: .npy ([T] or [T,axes]) or comma floats per axis")
+    pi.add_argument("--prompt", default=None, help="text prompt (requires clip.text_enabled)")
+    pi.add_argument("--negative-prompt", default="")
+    pi.add_argument("--vocab", default=None,
+                    help="CLIP vocab: HF dir/vocab.json or openai bpe .txt(.gz); default EMOX_CLIP_VOCAB")
+    pi.add_argument("--identity", action="store_true",
+                    help="CLIP-encode the reference image as an identity embedding "
+                         "(requires clip.vision_enabled + model.use_identity_embed)")
+    pi.add_argument("--ema", action="store_true", help="serve EMA shadow weights when present")
     pi.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
     pi.set_defaults(fn=cmd_infer)
 
@@ -392,6 +461,7 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--out", required=True)
     px.add_argument("--frames", type=int, default=16)
     px.add_argument("--size", type=int, default=256)
+    px.add_argument("--ema", action="store_true", help="export EMA shadow weights when present")
     px.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
     px.set_defaults(fn=cmd_export)
 

@@ -16,6 +16,8 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import yaml
 
+from emox.data.augment import AugmentConfig
+
 
 def _tuplify(x):
     return tuple(x) if isinstance(x, list) else x
@@ -132,9 +134,9 @@ class ModelConfig:
     # reference Net.py:248-258), which preserves head-turn direction
     speed_axes: int = 1
     # face-region mask conv encoder added at conv_in
-    # (reference Net.py:819-855 FaceLocator, Net.py:591-605 FaceRegionController)
+    # (reference Net.py:819-855 FaceLocator, Net.py:591-605 FaceRegionController;
+    # channel count inferred from the mask array)
     use_face_mask: bool = True
-    face_mask_channels: int = 1
     # sparse-causal spatial self-attention: K/V from (first, previous) frames
     # instead of the current frame (reference magicanimate/models/attention.py
     # SparseCausalAttention2D). Off for the EMO flagship (reference attention
@@ -145,9 +147,18 @@ class ModelConfig:
     # render per frame, reference magicanimate/models/controlnet.py)
     use_controlnet: bool = False
     control_cond_channels: int = 3
+    # CLIP identity-image embedding added to the time embedding through a
+    # zero-init projection (finishes the reference's unconsumed
+    # image_encoder wiring, reference EMOAnimationPipeline.py:867,
+    # Net.py:421-430 EMOModel(image_encoder=...)). Works in the audio-driven
+    # flagship too (no attn2 required).
+    use_identity_embed: bool = False
     # depthwise-separable 3x3 convs in ResBlocks (working version of the
     # reference's abandoned depthwise experiment, reference depthwise.py)
     separable_convs: bool = False
+    # False forces plain XLA attention everywhere in this UNet (no Pallas
+    # flash kernels); True keeps the measured shape-based auto dispatch.
+    # Process-wide override: EMOX_ATTENTION_IMPL.
     flash_attention: bool = True
     remat: bool = True
     # AdaIN-style GroupNorm statistic transfer: the writer (ReferenceNet)
@@ -240,7 +251,6 @@ class MeshConfig:
 class DataConfig:
     """Dataset + preprocessing (reference Net.py:1189-1445 EMODataset)."""
 
-    data_dir: str = "data"
     metadata_json: str = "data/overfit.json"
     video_dir: str = "data/videos"
     cache_dir: str = "data/cache"
@@ -250,7 +260,6 @@ class DataConfig:
     num_motion_frames: int = 2
     batch_size: int = 4
     num_workers: int = 0
-    shuffle: bool = True
     seed: int = 0
 
 
@@ -307,6 +316,13 @@ class InferenceConfig:
     # batch cond+uncond into one model call (better MXU utilisation than
     # two sequential calls; costs 2x activation memory)
     cfg_batching: bool = True
+    # precompute ReferenceNet banks for every sampler timestep in one
+    # batched writer pass before the denoise scan (identical math; the
+    # writer depends only on (ref_latent, t)) instead of rerunning the
+    # writer inside every step like the reference
+    # (EMOAnimationPipeline.py:711-716). Costs S x bank memory
+    # (~6 MB/step at 256^2), removes the per-step writer entirely.
+    precompute_ref_banks: bool = True
     # frames per VAE-decode chunk (0 = all at once; reference VAE slicing,
     # EMOAnimationPipeline.py:170-174)
     decode_chunk: int = 0
@@ -315,6 +331,7 @@ class InferenceConfig:
 
 _SECTIONS = {
     "vae": VAEConfig,
+    "augment": AugmentConfig,
     "audio": AudioConfig,
     "model": ModelConfig,
     "clip": CLIPConfig,
@@ -331,6 +348,7 @@ class Config:
     """Top-level bundle of all sections."""
 
     vae: VAEConfig = field(default_factory=VAEConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
     audio: AudioConfig = field(default_factory=AudioConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     clip: CLIPConfig = field(default_factory=CLIPConfig)

@@ -68,7 +68,8 @@ class EMOPipeline:
         return ref_latent, audio
 
     def _model_out(self, params, latents, t, ref_latent, audio, speeds, face_mask, guidance_scale,
-                   control_cond=None):
+                   control_cond=None, context=None, uncond_context=None, identity_embed=None,
+                   ref_features=None, ref_gn=None):
         """CFG-combined noise prediction for the full latent clip.
 
         Uncond is a TRUE no-reference branch: the uncond half never attends
@@ -91,12 +92,21 @@ class EMOPipeline:
         if guidance_scale == 1.0:
             return self.model.predict_noise(
                 params, latents, t, ref_latent, audio_windows=audio, speeds=speeds,
-                face_mask=face_mask, control_cond=control_cond,
+                face_mask=face_mask, control_cond=control_cond, context=context,
+                identity_embed=identity_embed, ref_features=ref_features, ref_gn=ref_gn,
+            )
+        if context is not None and uncond_context is None:
+            raise ValueError(
+                "prompt-conditioned CFG needs uncond_context (the empty-prompt "
+                "embedding, reference pipeline_animation.py:243-271); use "
+                "EMOPipeline.encode_prompt"
             )
         b = latents.shape[0]
         cat = lambda a, b_: jnp.concatenate([a, b_], axis=0)
         if self.config.inference.cfg_batching:
             drop = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((b,), bool)])
+            rf2 = None if ref_features is None else jax.tree.map(lambda x: cat(x, x), ref_features)
+            rg2 = None if ref_gn is None else jax.tree.map(lambda x: cat(x, x), ref_gn)
             out = self.model.predict_noise(
                 params,
                 cat(latents, latents),
@@ -106,24 +116,47 @@ class EMOPipeline:
                 speeds=None if speeds is None else cat(speeds, speeds),
                 face_mask=None if face_mask is None else cat(face_mask, face_mask),
                 control_cond=None if control_cond is None else cat(control_cond, control_cond),
+                context=None if context is None else cat(uncond_context, context),
+                identity_embed=None if identity_embed is None
+                else cat(jnp.zeros_like(identity_embed), identity_embed),
                 ref_dropout=drop,
+                ref_features=rf2,
+                ref_gn=rg2,
             )
             return cfg_combine(out[:b], out[b:], guidance_scale)
         cond = self.model.predict_noise(
             params, latents, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask,
-            control_cond=control_cond,
+            control_cond=control_cond, context=context, identity_embed=identity_embed,
+            ref_features=ref_features, ref_gn=ref_gn,
         )
         uncond = self.model.predict_noise(
             params, latents, t, None,
             audio_windows=None if audio is None else jnp.zeros_like(audio),
             speeds=speeds, face_mask=face_mask, control_cond=control_cond,
+            context=uncond_context,
+            identity_embed=None if identity_embed is None else jnp.zeros_like(identity_embed),
         )
         return cfg_combine(uncond, cond, guidance_scale)
+
+    def _precompute_banks(self, params, ref_latent, ts):
+        """One batched writer pass for all sampler steps (identical math to
+        the reference's per-step appearance-encoder rerun,
+        reference EMOAnimationPipeline.py:711-716 — see
+        EMOModel.reference_outputs_for_steps). Returns (None, None) when
+        disabled or no reference is in play."""
+        if (
+            not self.config.inference.precompute_ref_banks
+            or ref_latent is None
+            or not self.model.config.model.use_reference
+        ):
+            return None, None
+        return self.model.reference_outputs_for_steps(params, ref_latent, ts)
 
     # ---- samplers --------------------------------------------------------
     def _sample_short(
         self, params, key, ref_latent, audio, speeds, face_mask, num_frames, num_steps,
         guidance_scale, lock_latents=None, num_locked=0, control_cond=None,
+        context=None, uncond_context=None, identity_embed=None,
     ):
         """Single-window DDIM scan. If lock_latents is given, the first
         num_locked frames are re-noised known latents each step
@@ -136,27 +169,36 @@ class EMOPipeline:
         ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
         k_init, k_lock = jax.random.split(key)
         latents = jax.random.normal(k_init, (b, num_frames, h, w, c))
+        feats_all, gn_all = self._precompute_banks(params, ref_latent, ts)
+
+        eta = self.config.diffusion.ddim_eta
 
         def body(lat, step):
-            t, t_prev, k = step
+            i, t, t_prev, k = step
+            k_lock, k_eta = jax.random.split(k)
             tb = jnp.full((b,), t, jnp.int32)
             if lock_latents is not None and num_locked > 0:
-                noised = add_noise(self.sched, lock_latents, jax.random.normal(k, lock_latents.shape), tb)
+                noised = add_noise(self.sched, lock_latents, jax.random.normal(k_lock, lock_latents.shape), tb)
                 lat = jnp.concatenate([noised[:, :num_locked], lat[:, num_locked:]], axis=1)
+            rf = None if feats_all is None else jax.tree.map(lambda x: x[i], feats_all)
+            rg = None if gn_all is None else jax.tree.map(lambda x: x[i], gn_all)
             out = self._model_out(
                 params, lat, tb, ref_latent, audio, speeds, face_mask, guidance_scale,
-                control_cond=control_cond,
+                control_cond=control_cond, context=context, uncond_context=uncond_context,
+                identity_embed=identity_embed, ref_features=rf, ref_gn=rg,
             )
-            lat = ddim_step(self.sched, out, lat, tb, jnp.full((b,), t_prev, jnp.int32))
+            lat = ddim_step(self.sched, out, lat, tb, jnp.full((b,), t_prev, jnp.int32),
+                            eta=eta, key=k_eta if eta > 0 else None)
             return lat, None
 
         keys = jax.random.split(k_lock, num_steps)
-        final, _ = jax.lax.scan(body, latents, (ts, ts_prev, keys))
+        final, _ = jax.lax.scan(body, latents, (jnp.arange(num_steps), ts, ts_prev, keys))
         return final
 
     def _sample_windowed(
         self, params, key, ref_latent, audio, speeds, face_mask, num_frames, num_steps, guidance_scale,
         lock_latents=None, num_locked=0, control_cond=None,
+        context=None, uncond_context=None, identity_embed=None,
     ):
         """Overlapping-window denoise over a long frame axis. Composes with
         motion-frame continuation (lock_latents re-noised into the first
@@ -173,25 +215,32 @@ class EMOPipeline:
         weights = jnp.asarray(plan.weights)
         ts = inference_timesteps(self.sched.num_train_timesteps, num_steps)
         ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+        feats_all, gn_all = self._precompute_banks(params, ref_latent, ts)
 
-        def denoise_window(w_lat, tb, w_idx):
+        def denoise_window(w_lat, tb, w_idx, rf, rg):
             a = None if audio is None else jnp.take(audio, w_idx, axis=1)
             s = None if speeds is None else jnp.take(speeds, w_idx, axis=1)
             cc = None
             if control_cond is not None:
                 cc = jnp.take(control_cond, w_idx, axis=1) if control_cond.ndim == 5 else control_cond
             return self._model_out(params, w_lat, tb, ref_latent, a, s, face_mask, guidance_scale,
-                                   control_cond=cc)
+                                   control_cond=cc, context=context, uncond_context=uncond_context,
+                                   identity_embed=identity_embed, ref_features=rf, ref_gn=rg)
+
+        eta = self.config.diffusion.ddim_eta
 
         def body(lat, step):
-            t, t_prev, idx, w8, k = step
+            i, t, t_prev, idx, w8, k = step
+            k_lock, k_eta = jax.random.split(k)
             tb = jnp.full((b,), t, jnp.int32)
             if lock_latents is not None and num_locked > 0:
-                noised = add_noise(self.sched, lock_latents, jax.random.normal(k, lock_latents.shape), tb)
+                noised = add_noise(self.sched, lock_latents, jax.random.normal(k_lock, lock_latents.shape), tb)
                 lat = jnp.concatenate([noised[:, :num_locked], lat[:, num_locked:]], axis=1)
+            rf = None if feats_all is None else jax.tree.map(lambda x: x[i], feats_all)
+            rg = None if gn_all is None else jax.tree.map(lambda x: x[i], gn_all)
             windows = lat[:, idx].transpose(1, 0, 2, 3, 4, 5)  # [W, B, c, h, w, C]
             windows = self._shard_windows(windows)
-            preds = jax.vmap(lambda wl, wi: denoise_window(wl, tb, wi))(windows, idx)
+            preds = jax.vmap(lambda wl, wi: denoise_window(wl, tb, wi, rf, rg))(windows, idx)
             preds = self._shard_windows(preds)
             preds = preds * w8[:, None, None, None, None, None]
             wc = idx.shape[0] * idx.shape[1]
@@ -200,11 +249,14 @@ class EMOPipeline:
             nsum = jnp.zeros_like(lat).at[:, flat_idx].add(flat)
             counts = jnp.zeros((num_frames,), jnp.float32).at[flat_idx].add(jnp.repeat(w8, idx.shape[1]))
             out = nsum / jnp.maximum(counts, 1e-6)[None, :, None, None, None]
-            lat = ddim_step(self.sched, out, lat, tb, jnp.full((b,), t_prev, jnp.int32))
+            lat = ddim_step(self.sched, out, lat, tb, jnp.full((b,), t_prev, jnp.int32),
+                            eta=eta, key=k_eta if eta > 0 else None)
             return lat, None
 
         keys = jax.random.split(k_lock, num_steps)
-        final, _ = jax.lax.scan(body, latents, (ts, ts_prev, indices, weights, keys))
+        final, _ = jax.lax.scan(
+            body, latents, (jnp.arange(num_steps), ts, ts_prev, indices, weights, keys)
+        )
         return final
 
     # ---- public API ------------------------------------------------------
@@ -222,6 +274,9 @@ class EMOPipeline:
         lock_latents: Optional[jax.Array] = None,
         num_locked: int = 0,
         control_cond: Optional[jax.Array] = None,  # [B, T, H, W, Cc] pose renders
+        context: Optional[jax.Array] = None,  # [B, Lc, cross_dim] prompt embedding
+        uncond_context: Optional[jax.Array] = None,  # empty-prompt embedding (CFG)
+        identity_embed: Optional[jax.Array] = None,  # [B, proj] CLIP image embedding
     ) -> jax.Array:
         icfg = self.config.inference
         T = video_length or icfg.video_length
@@ -232,12 +287,55 @@ class EMOPipeline:
         if T <= icfg.context_frames:
             return self._sample_short(
                 params, key, ref_latent, audio, speeds, face_mask, T, steps, g, lock_latents,
-                num_locked, control_cond,
+                num_locked, control_cond, context, uncond_context, identity_embed,
             )
         return self._sample_windowed(
             params, key, ref_latent, audio, speeds, face_mask, T, steps, g, lock_latents,
-            num_locked, control_cond,
+            num_locked, control_cond, context, uncond_context, identity_embed,
         )
+
+    def encode_prompt(
+        self,
+        params: Params,
+        prompt: str,
+        negative_prompt: str = "",
+        tokenizer=None,
+    ):
+        """prompt strings -> (context, uncond_context) CLIP embeddings.
+
+        The reference's _encode_prompt (reference
+        magicanimate/pipelines/pipeline_animation.py:184-271): tokenize,
+        encode, and encode the negative/empty prompt for the CFG uncond
+        half. Requires clip.text_enabled."""
+        if tokenizer is None:
+            from emox.data.tokenizer import CLIPTokenizer
+
+            tokenizer = self._default_tokenizer = getattr(self, "_default_tokenizer", None) or CLIPTokenizer()
+        ml = min(self.config.clip.max_positions, 77)
+        ids = jnp.asarray(tokenizer.encode([prompt], max_length=ml))
+        uids = jnp.asarray(tokenizer.encode([negative_prompt], max_length=ml))
+        enc = getattr(self, "_jit_encode_text", None)
+        if enc is None:
+            enc = self._jit_encode_text = jax.jit(self.model.encode_text)
+        return enc(params, ids), enc(params, uids)
+
+    def encode_identity(self, params: Params, ref_image: jax.Array) -> jax.Array:
+        """Reference image [B, H, W, 3] in [-1, 1] -> CLIP identity embedding
+        [B, proj] (reference EMOAnimationPipeline.py:867 image_enc). Resizes
+        to the CLIP input size and renormalises on device."""
+        from emox.models.clip import clip_normalize
+
+        fn = getattr(self, "_jit_encode_identity", None)
+        if fn is None:
+            size = self.config.clip.image_size
+
+            def run(params, img):
+                x01 = (img.astype(jnp.float32) + 1.0) * 0.5
+                x01 = jax.image.resize(x01, (img.shape[0], size, size, 3), "bilinear")
+                return self.model.encode_image_embedding(params, clip_normalize(x01))
+
+            fn = self._jit_encode_identity = jax.jit(run)
+        return fn(params, ref_image)
 
     def __call__(
         self,
@@ -251,15 +349,33 @@ class EMOPipeline:
         face_mask: Optional[jax.Array] = None,
         key: Optional[jax.Array] = None,
         interpolation_factor: Optional[int] = None,
+        prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        tokenizer=None,
+        use_identity: bool = False,
     ) -> jax.Array:
-        """Returns video frames [B, T, H, W, 3] in [-1, 1]."""
+        """Returns video frames [B, T, H, W, 3] in [-1, 1].
+
+        prompt: optional text prompt — tokenized + CLIP-encoded, cross-
+        attended by the denoiser (requires clip.text_enabled and
+        model.use_cross_attention; reference pipeline_animation.py:184-271).
+        use_identity: CLIP-encode ref_image into an identity embedding
+        (requires clip.vision_enabled + model.use_identity_embed; reference
+        EMOAnimationPipeline.py:867)."""
+        context = uncond_context = None
+        if prompt is not None:
+            context, uncond_context = self.encode_prompt(params, prompt, negative_prompt, tokenizer)
+        identity_embed = self.encode_identity(params, ref_image) if use_identity else None
         cache_key = ("call", video_length, num_inference_steps, guidance_scale,
-                     speeds is not None, face_mask is not None, interpolation_factor)
+                     speeds is not None, face_mask is not None, interpolation_factor,
+                     context is not None, use_identity)
         if cache_key not in self._jitted:
-            def run(params, ref_image, wav, speeds, face_mask, key):
+            def run(params, ref_image, wav, speeds, face_mask, key, context, uncond_context,
+                    identity_embed):
                 lat = self.generate_latents(
                     params, ref_image, wav, video_length, num_inference_steps,
                     guidance_scale, speeds, face_mask, key,
+                    context=context, uncond_context=uncond_context, identity_embed=identity_embed,
                 )
                 f = interpolation_factor or self.config.inference.interpolation_factor
                 if f > 1:
@@ -268,7 +384,8 @@ class EMOPipeline:
 
             self._jitted[cache_key] = jax.jit(run)
         key = key if key is not None else jax.random.PRNGKey(self.config.inference.seed)
-        return self._jitted[cache_key](params, ref_image, wav, speeds, face_mask, key)
+        return self._jitted[cache_key](params, ref_image, wav, speeds, face_mask, key,
+                                       context, uncond_context, identity_embed)
 
     def invert(
         self,
@@ -311,6 +428,11 @@ class EMOPipeline:
         num_inference_steps: Optional[int] = None,
         guidance_scale: Optional[float] = None,
         key: Optional[jax.Array] = None,
+        speeds: Optional[jax.Array] = None,  # [B, total_frames(, A)] per-frame velocities
+        prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        tokenizer=None,
+        use_identity: bool = False,
     ) -> jax.Array:
         """Autoregressive long-video generation: each segment locks its first
         num_motion_frames latent frames to the previous segment's tail (the
@@ -326,18 +448,27 @@ class EMOPipeline:
         fps = self.config.audio.video_fps
         steps = num_inference_steps or icfg.num_inference_steps
         g = icfg.guidance_scale if guidance_scale is None else guidance_scale
+        context = uncond_context = None
+        if prompt is not None:
+            context, uncond_context = self.encode_prompt(params, prompt, negative_prompt, tokenizer)
+        identity_embed = self.encode_identity(params, ref_image) if use_identity else None
 
-        def seg_call(seg_frames, wav_seg, sub, lock, num_locked):
-            ck = ("long_seg", seg_frames, int(wav_seg.shape[1]), steps, g, lock is not None, num_locked)
+        def seg_call(seg_frames, wav_seg, sub, lock, num_locked, seg_speeds):
+            ck = ("long_seg", seg_frames, int(wav_seg.shape[1]), steps, g, lock is not None,
+                  num_locked, seg_speeds is not None, context is not None, identity_embed is not None)
             if ck not in self._jitted:
-                def run(params, ref_image, wav_seg, k, lock):
+                def run(params, ref_image, wav_seg, k, lock, seg_speeds, context, uncond_context,
+                        identity_embed):
                     return self.generate_latents(
                         params, ref_image, wav_seg, video_length=seg_frames,
                         num_inference_steps=steps, guidance_scale=g, key=k,
-                        lock_latents=lock, num_locked=num_locked,
+                        speeds=seg_speeds, lock_latents=lock, num_locked=num_locked,
+                        context=context, uncond_context=uncond_context,
+                        identity_embed=identity_embed,
                     )
                 self._jitted[ck] = jax.jit(run)
-            return self._jitted[ck](params, ref_image, wav_seg, sub, lock)
+            return self._jitted[ck](params, ref_image, wav_seg, sub, lock, seg_speeds,
+                                    context, uncond_context, identity_embed)
 
         segs = []
         produced = 0
@@ -357,7 +488,13 @@ class EMOPipeline:
             if not first:
                 pad = jnp.zeros((prev_tail.shape[0], seg_frames - num_motion_frames, *prev_tail.shape[2:]))
                 lock = jnp.concatenate([prev_tail, pad], axis=1)
-            lat = seg_call(seg_frames, wav_seg, sub, lock, 0 if first else num_motion_frames)
+            seg_speeds = None
+            if speeds is not None:
+                pad_t = max(0, start_frame + seg_frames - speeds.shape[1])
+                sp = speeds if pad_t == 0 else jnp.pad(
+                    speeds, [(0, 0), (0, pad_t)] + [(0, 0)] * (speeds.ndim - 2))
+                seg_speeds = jax.lax.dynamic_slice_in_dim(sp, max(0, start_frame), seg_frames, axis=1)
+            lat = seg_call(seg_frames, wav_seg, sub, lock, 0 if first else num_motion_frames, seg_speeds)
             segs.append(lat if first else lat[:, num_motion_frames:])
             prev_tail = lat[:, -num_motion_frames:]
             produced += new

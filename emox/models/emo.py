@@ -88,14 +88,22 @@ class EMOModel:
             if cfg.model.speed_axes == 1
             else jnp.zeros((1, num_frames, cfg.model.speed_axes))
         )
+        ctx0 = (
+            jnp.zeros((1, 2, cfg.model.cross_attention_dim))
+            if (cfg.model.use_cross_attention and cfg.model.attention_levels and cfg.clip.text_enabled)
+            else None
+        )
+        ide0 = jnp.zeros((1, cfg.clip.projection_dim)) if cfg.model.use_identity_embed else None
         params["denoiser"] = self.modules.denoiser.init(
             kd,
             vid_lat,
             ts,
+            context=ctx0,
             ref_features=ref_feats,
             audio=audio_win,
             speeds=speeds0,
             face_mask=jnp.zeros((1, size, size, 1)),
+            identity_embed=ide0,
         )["params"]
         params["face_locator"] = self.modules.face_locator.init(kf, img)["params"]
         params["landmarker"] = self.modules.landmarker.init(jax.random.fold_in(key, 98), img)["params"]
@@ -149,6 +157,28 @@ class EMOModel:
     def reference_features(self, params: Params, ref_latent: jax.Array, timesteps: jax.Array):
         return self.reference_outputs(params, ref_latent, timesteps).ref_features
 
+    def reference_outputs_for_steps(self, params: Params, ref_latent: jax.Array, timesteps_vec: jax.Array):
+        """Writer banks for ALL S sampler timesteps in ONE batched pass.
+
+        The writer's output depends only on (ref_latent, t), so a DDIM
+        sampler can precompute every step's banks up front — batching S
+        one-frame writer passes into one [S*B] pass reads the writer
+        weights once instead of S times (the reference reruns its
+        appearance encoder every timestep,
+        reference EMOAnimationPipeline.py:711-716; same math, amortised).
+        Returns (ref_features, ref_gn) pytrees with a leading S axis;
+        select a step's banks with jax.tree.map(lambda x: x[i], ...)."""
+        S = timesteps_vec.shape[0]
+        B = ref_latent.shape[0]
+        tiled = jnp.broadcast_to(ref_latent[None], (S, *ref_latent.shape)).reshape(
+            S * B, *ref_latent.shape[1:]
+        )
+        out = self.reference_outputs(params, tiled, jnp.repeat(timesteps_vec, B))
+        reshape = lambda x: x.reshape(S, B, *x.shape[1:])
+        feats = jax.tree.map(reshape, out.ref_features)
+        gn = None if out.ref_gn is None else jax.tree.map(reshape, out.ref_gn)
+        return feats, gn
+
     def encode_audio(self, params: Params, wav: jax.Array, num_frames: int) -> jax.Array:
         cfg = self.config.audio
         feats = self.modules.audio_encoder.apply({"params": params["audio_encoder"]}, wav)
@@ -187,17 +217,20 @@ class EMOModel:
         audio_windows: Optional[jax.Array] = None,  # [B, T, A, D]
         speeds: Optional[jax.Array] = None,  # [B, T]
         face_mask: Optional[jax.Array] = None,  # [B, H, W, 1]
-        context: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,  # [B, Lc, cross_dim] CLIP text tokens
         control_cond: Optional[jax.Array] = None,  # [B(, T), H, W, Cc] pixel space
         control_scale: float = 1.0,
         ref_dropout: Optional[jax.Array] = None,  # [B] bool, True = sample sees no ref
+        identity_embed: Optional[jax.Array] = None,  # [B, proj] CLIP image embedding
+        ref_features: Optional[Any] = None,  # precomputed writer banks (see reference_outputs)
+        ref_gn: Optional[Any] = None,
     ) -> jax.Array:
         """ref_latent=None skips ReferenceNet entirely (a true uncond program,
         cheaper than the per-sample ref_dropout mask); ref_dropout drops the
         reference per-sample inside one program (CFG batch doubling, training
         conditioning dropout — reference mutual_self_attention.py:243-255)."""
-        ref_feats = ref_gn = None
-        if ref_latent is not None:
+        ref_feats = ref_features
+        if ref_latent is not None and ref_feats is None:
             rout = self.reference_outputs(params, ref_latent, timesteps)
             ref_feats, ref_gn = rout.ref_features, rout.ref_gn
         control = None
@@ -218,5 +251,6 @@ class EMOModel:
             face_mask=face_mask,
             control=control,
             ref_dropout=ref_dropout,
+            identity_embed=identity_embed,
         )
         return out.sample

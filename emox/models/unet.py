@@ -99,6 +99,7 @@ class UNet(nn.Module):
         face_mask: Optional[jax.Array] = None,  # [B, H, W, 1] pixel space
         control: Optional[Any] = None,  # ControlSignals (models/controlnet.py)
         ref_gn: Optional[List[jax.Array]] = None,  # per site [B,1,1,C,2] writer stats
+        identity_embed: Optional[jax.Array] = None,  # [B, proj] CLIP image embedding
         emit_ref: bool = False,
         ref_dropout: Optional[jax.Array] = None,  # [B] bool, True = this sample sees no ref
     ) -> UNetOutputs:
@@ -119,6 +120,10 @@ class UNet(nn.Module):
             AC = nn.remat(AudioCrossAttention)
         else:
             ST, TT, AC = SpatialTransformer, TemporalTransformer, AudioCrossAttention
+        # cfg.flash_attention=False pins every attention in this UNet to the
+        # plain XLA path; True keeps the measured auto dispatch (None)
+        impl = None if cfg.flash_attention else "xla"
+
         squeeze = x.ndim == 4
         if squeeze:
             x = x[:, None]
@@ -128,6 +133,14 @@ class UNet(nn.Module):
 
         # ---- embeddings -------------------------------------------------
         temb = TimestepEmbedder(temb_dim, cfg.base_channels, name="time_embed", **kw)(timesteps)
+        if cfg.use_identity_embed and identity_embed is not None:
+            # zero-init, bias-free projection: a zero embedding (CFG uncond,
+            # missing identity) contributes exactly nothing, and a freshly
+            # added identity branch starts as the identity function
+            temb = temb + nn.Dense(
+                temb_dim, use_bias=False, kernel_init=nn.initializers.zeros,
+                name="identity_embed_proj", **kw
+            )(identity_embed.astype(self.dtype))
         if cfg.use_speed and speeds is not None:
             # speeds: [B] / [B, T] scalar ||d pose||, or [B, T, A] per-axis
             # signed velocities (reference Net.py:248-258 buckets each axis)
@@ -138,9 +151,12 @@ class UNet(nn.Module):
                 temb_dim, cfg.num_speed_buckets, cfg.speed_bucket_radius, name="speed_embed", **kw
             )(speeds.reshape(b * t, axes))
             temb = jnp.repeat(temb, t, axis=0) + spe  # [(B T), D] per-frame
-        if context is None and cfg.attention_levels and cfg.use_cross_attention:
+        if cfg.attention_levels and cfg.use_cross_attention:
+            # created unconditionally so the param tree does not depend on
+            # whether a prompt context was passed at init time
             null = self.param("null_context", nn.initializers.normal(0.02), (1, 1, cfg.cross_attention_dim), self.param_dtype)
-            context = jnp.broadcast_to(null, (b, 1, cfg.cross_attention_dim)).astype(self.dtype)
+            if context is None:
+                context = jnp.broadcast_to(null, (b, 1, cfg.cross_attention_dim)).astype(self.dtype)
         ctx_frames = None if context is None else jnp.repeat(context, t, axis=0)
 
         # ---- conv_in + face mask residual -------------------------------
@@ -168,7 +184,7 @@ class UNet(nn.Module):
             h, bank = ST(
                 heads, head_dim, depth=self.spatial_depth,
                 groups=cfg.norm_groups, sparse_causal=cfg.use_sparse_causal,
-                use_cross=cfg.use_cross_attention,
+                use_cross=cfg.use_cross_attention, impl=impl,
                 num_frames=1 if emit_ref else t, name=f"{name}_attn", **kw,
             )(h, context=ctx_frames, ref_kv=rkv, ref_drop=None if rkv is None else drop_frames)
             if emit_ref:
@@ -184,7 +200,7 @@ class UNet(nn.Module):
             hv = unfold_time(h, t)
             if cfg.use_audio and audio is not None:
                 hv = AC(
-                    heads, head_dim, groups=cfg.norm_groups, name=f"{name}_audio", **kw
+                    heads, head_dim, groups=cfg.norm_groups, impl=impl, name=f"{name}_audio", **kw
                 )(hv, audio)
             if cfg.use_temporal and t > 1:
                 hv = TT(

@@ -50,6 +50,9 @@ class Attention(nn.Module):
     out_dim: Optional[int] = None
     zero_init_out: bool = False
     qkv_bias: bool = False  # SD UNet: False; SD VAE mid-attn / wav2vec2: True
+    # None = measured auto dispatch; "xla" forces plain XLA attention
+    # (ModelConfig.flash_attention=False)
+    impl: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -73,7 +76,7 @@ class Attention(nn.Module):
         v = dense(inner, "to_v")(ctx)
         # packed layout [N, L, H*D] straight through the kernel — the head
         # axis never materialises (no transpose, no layout copies)
-        out = dot_product_attention_nlc(q, k, v, self.heads)
+        out = dot_product_attention_nlc(q, k, v, self.heads, impl=self.impl)
         out_init = nn.initializers.zeros if self.zero_init_out else nn.initializers.lecun_normal()
         return nn.Dense(
             out_dim, kernel_init=out_init, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out"
@@ -104,6 +107,7 @@ class TransformerBlock(nn.Module):
     heads: int
     head_dim: int
     use_cross: bool = True
+    impl: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -118,7 +122,8 @@ class TransformerBlock(nn.Module):
     ):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         attn = lambda name, **kw: Attention(
-            self.heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name, **kw
+            self.heads, self.head_dim, impl=self.impl, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name, **kw
         )
         normed1 = ln("norm1")(x)
         # sparse-causal mode: self-attention keys/values come from other
@@ -164,6 +169,7 @@ class SpatialTransformer(nn.Module):
     groups: int = 32
     use_cross: bool = True
     sparse_causal: bool = False
+    impl: Optional[str] = None
     # frame count for sparse-causal gathering (module attribute, not call
     # arg, so nn.remat sees only array arguments)
     num_frames: int = 1
@@ -198,7 +204,7 @@ class SpatialTransformer(nn.Module):
         banks = []
         for i in range(self.depth):
             hdn, normed1 = TransformerBlock(
-                self.heads, self.head_dim, use_cross=self.use_cross,
+                self.heads, self.head_dim, use_cross=self.use_cross, impl=self.impl,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block_{i}",
             )(hdn, context=context, ref_kv=None if ref_kv is None else ref_kv[i],
               sc_gather=sc_gather, ref_drop=ref_drop)
@@ -310,6 +316,7 @@ class AudioCrossAttention(nn.Module):
     heads: int
     head_dim: int
     groups: int = 32
+    impl: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -326,6 +333,7 @@ class AudioCrossAttention(nn.Module):
             self.heads,
             self.head_dim,
             zero_init_out=True,
+            impl=self.impl,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",

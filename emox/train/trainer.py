@@ -165,12 +165,18 @@ class Checkpointer:
             ema_params=restored.get("ema_params"),
         )
 
-    def restore_params(self, step: Optional[int] = None) -> Optional[Params]:
-        """Load only params (for stage N+1 init from stage N)."""
+    def restore_params(self, step: Optional[int] = None, use_ema: bool = False) -> Optional[Params]:
+        """Load only params (for stage N+1 init from stage N).
+
+        use_ema=True returns the EMA shadow weights when the checkpoint
+        carries them (train.ema_decay > 0) — the weights one actually serves
+        — and falls back to raw params otherwise."""
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
         restored = self.manager.restore(step)
+        if use_ema and restored.get("ema_params") is not None:
+            return restored["ema_params"]
         return restored["params"]
 
 

@@ -123,3 +123,31 @@ class TestPipeline:
         inv = pipe.invert(params, video, ref, wav, num_inference_steps=2)
         assert inv.shape == (1, 4, 16, 16, 4)
         assert np.isfinite(np.asarray(inv)).all()
+
+
+class TestPrecomputedBanks:
+    def test_precomputed_banks_match_per_step_writer(self, setup):
+        """One batched writer pass for all steps must reproduce the
+        per-step writer exactly (same math; the reference reruns its
+        appearance encoder every timestep, EMOAnimationPipeline.py:711-716)."""
+        import dataclasses as dc
+
+        model, params, ref, wav = setup
+        base = pipe_config()
+        on = base.replace(inference=dc.replace(base.inference, precompute_ref_banks=True))
+        off = base.replace(inference=dc.replace(base.inference, precompute_ref_banks=False))
+        lat_on = EMOPipeline(model, on).generate_latents(params, ref, wav, video_length=4)
+        lat_off = EMOPipeline(model, off).generate_latents(params, ref, wav, video_length=4)
+        np.testing.assert_allclose(np.asarray(lat_on), np.asarray(lat_off), atol=1e-5)
+
+    def test_precomputed_banks_windowed(self, setup):
+        import dataclasses as dc
+
+        model, params, ref, wav = setup
+        base = pipe_config()
+        base = base.replace(inference=dc.replace(base.inference, context_frames=4, context_overlap=1))
+        on = base.replace(inference=dc.replace(base.inference, precompute_ref_banks=True))
+        off = base.replace(inference=dc.replace(base.inference, precompute_ref_banks=False))
+        lat_on = EMOPipeline(model, on).generate_latents(params, ref, wav, video_length=6)
+        lat_off = EMOPipeline(model, off).generate_latents(params, ref, wav, video_length=6)
+        np.testing.assert_allclose(np.asarray(lat_on), np.asarray(lat_off), atol=1e-5)
