@@ -8,13 +8,26 @@ timestep + UNet3D with reference/temporal/audio/speed/face conditioning,
 bf16. Per-clip work (VAE encode of the reference image, wav2vec2 audio
 features) is computed once outside the timed loop, as in any real sampler.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the driver-defined target of 1.0 flagship
-denoise steps/sec/chip (the reference publishes no numbers — SURVEY.md §6 —
-so the target anchors round-over-round comparison on the same metric).
+Timing protocol (round-3 reconciliation of the flat r1/r2 numbers): the
+old single-loop timing included ~45-50 ms of FIXED overhead — the first
+dispatch after an idle device plus the final device->host fetch round-trip
+through the axon tunnel — which inflated per-step time by overhead/iters
+(2.4 ms at 10 iters, 1.2 ms at 20; this is the whole 21.6-vs-22.8
+discrepancy between the driver runs and BASELINE.md). The fix measures
+T(2n) - T(n): two loops whose fixed costs cancel exactly, leaving the pure
+steady-state per-step time. Device work is still serialised and synced via
+a host scalar fetch (block_until_ready returns early through the tunnel).
+
+Secondary driver-visible metrics land in extra: 512^2 denoise steps/s and
+the warm 48-frame long-clip time — each attempted only while the elapsed
+wall-clock budget allows (a cold compile cache can cost minutes per
+program; EMOX_BENCH_BUDGET seconds, default 900).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Env knobs: EMOX_BENCH_PRESET=flagship|flagship512|small|tiny (default
-flagship), EMOX_BENCH_ITERS (default 10).
+flagship), EMOX_BENCH_ITERS (default 20; the measured loop runs 3n total),
+EMOX_BENCH_BUDGET (seconds, default 900), EMOX_BENCH_NO_EXTRAS=1.
 """
 
 from __future__ import annotations
@@ -24,29 +37,24 @@ import os
 import sys
 import time
 
-# persistent XLA compile cache: the flagship program cold-compiles in
-# minutes (packed pallas kernels ~5 min/shape through the axon compile
-# helper); cached reruns start in seconds
+# persistent XLA compile cache: flagship programs cold-compile in minutes
+# through the axon compile helper; cached reruns start in seconds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/emox_tpu_cache")
 
+T_START = time.time()
 
-def main() -> None:
+
+def _build(preset: str, image_size: int, num_frames: int):
     import jax
     import jax.numpy as jnp
 
     from emox.core.presets import PRESETS
     from emox.models.emo import EMOModel
 
-    preset = os.environ.get("EMOX_BENCH_PRESET", "flagship")
-    iters = int(os.environ.get("EMOX_BENCH_ITERS", "10"))
-    num_frames = 16
-    sizes = {"flagship": 256, "flagship512": 512, "small": 128, "tiny": 32}
-    image_size = sizes[preset]
     cfg = PRESETS["flagship" if preset == "flagship512" else preset](
         image_size=image_size, num_frames=num_frames
     )
     model = EMOModel(cfg, dtype=jnp.bfloat16)
-
     params = jax.jit(lambda k: model.init_params(k, num_frames=num_frames, image_size=image_size))(
         jax.random.PRNGKey(0)
     )
@@ -56,9 +64,14 @@ def main() -> None:
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p
     ))(params)
     jax.block_until_ready(params)
-    lat = image_size // cfg.vae.downscale
+    return cfg, model, params
 
-    # per-clip conditioning, computed once (mirrors the real sampler)
+
+def _step_args(cfg, model, params, image_size: int, num_frames: int):
+    import jax
+    import jax.numpy as jnp
+
+    lat = image_size // cfg.vae.downscale
     prep = jax.jit(lambda p, im, w: (
         model.encode_images(p, im), model.encode_audio(p, w, num_frames)
     ))
@@ -67,6 +80,21 @@ def main() -> None:
         jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16),
         jnp.zeros((1, int(16000 * (num_frames + 4) / 25.0)), jnp.bfloat16),
     )
+    noisy = jax.random.normal(jax.random.PRNGKey(1), (1, num_frames, lat, lat, 4), jnp.bfloat16)
+    speeds = (
+        jnp.zeros((1, num_frames, cfg.model.speed_axes), jnp.bfloat16)
+        if cfg.model.speed_axes > 1 else jnp.zeros((1, num_frames), jnp.bfloat16)
+    )
+    return (
+        params, noisy, jnp.array([500], jnp.int32), ref_latent, audio, speeds,
+        jnp.ones((1, image_size, image_size, 1), jnp.bfloat16),
+    )
+
+
+def _measure_step_ms(model, args, iters: int):
+    """Steady-state ms/step via fixed-overhead cancellation: T(2n) - T(n)."""
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def denoise_step(params, noisy, t, ref_latent, audio, speeds, face_mask):
@@ -74,43 +102,97 @@ def main() -> None:
             params, noisy, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask
         )
 
-    key = jax.random.PRNGKey(1)
-    noisy = jax.random.normal(key, (1, num_frames, lat, lat, 4), jnp.bfloat16)
-    args = (
-        params,
-        noisy,
-        jnp.array([500], jnp.int32),
-        ref_latent,
-        audio,
-        jnp.zeros((1, num_frames, cfg.model.speed_axes), jnp.bfloat16)
-        if cfg.model.speed_axes > 1 else jnp.zeros((1, num_frames), jnp.bfloat16),
-        jnp.ones((1, image_size, image_size, 1), jnp.bfloat16),
-    )
     # Sync via a host scalar fetch, NOT block_until_ready: over the axon
     # TPU tunnel block_until_ready returns before execution finishes
-    # (measured 2 ms "steps" vs 84 ms real), so only a device->host value
-    # dependency gives honest timing.
+    # (measured 2 ms "steps" vs 84 ms real).
     fsum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
     check = float(fsum(denoise_step(*args)))  # compile both
     assert check == check, "NaN in benchmark output"
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = denoise_step(*args)
-    float(fsum(out))  # device executes dispatches serially; fetch syncs all
-    dt = (time.perf_counter() - t0) / iters
-    steps_per_sec = 1.0 / dt
+    def loop(n: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = denoise_step(*args)
+        float(fsum(out))  # device executes dispatches serially; fetch syncs all
+        return time.perf_counter() - t0
+
+    loop(2)  # warm the dispatch path
+    t_n = loop(iters)
+    t_2n = loop(2 * iters)
+    step_ms = (t_2n - t_n) / iters * 1e3
+    naive_ms = t_2n / (2 * iters) * 1e3
+    return step_ms, naive_ms
+
+
+def _budget_left(budget_s: float) -> float:
+    return budget_s - (time.time() - T_START)
+
+
+def main() -> None:
+    import jax
+
+    preset = os.environ.get("EMOX_BENCH_PRESET", "flagship")
+    iters = int(os.environ.get("EMOX_BENCH_ITERS", "20"))
+    budget_s = float(os.environ.get("EMOX_BENCH_BUDGET", "900"))
+    num_frames = 16
+    sizes = {"flagship": 256, "flagship512": 512, "small": 128, "tiny": 32}
+    image_size = sizes[preset]
+
+    cfg, model, params = _build(preset, image_size, num_frames)
+    args = _step_args(cfg, model, params, image_size, num_frames)
+    step_ms, naive_ms = _measure_step_ms(model, args, iters)
+    steps_per_sec = 1e3 / step_ms
+
+    extra = {
+        "ms_per_step": round(step_ms, 2),
+        "ms_per_step_naive_loop": round(naive_ms, 2),
+        "timing": "T(2n)-T(n) fixed-overhead cancellation, host-scalar sync",
+        "frames_per_sec_equiv": round(steps_per_sec * num_frames, 2),
+        "device": str(jax.devices()[0]),
+    }
+
+    if preset == "flagship" and not os.environ.get("EMOX_BENCH_NO_EXTRAS"):
+        # ---- 512^2 denoise step (reference train res) -------------------
+        if _budget_left(budget_s) > 240:
+            try:
+                cfg5, model5, params5 = _build("flagship512", 512, num_frames)
+                args5 = _step_args(cfg5, model5, params5, 512, num_frames)
+                ms5, _ = _measure_step_ms(model5, args5, max(3, iters // 4))
+                extra["steps_per_sec_512"] = round(1e3 / ms5, 3)
+                extra["ms_per_step_512"] = round(ms5, 1)
+                del model5, params5, args5
+            except Exception as e:  # record, don't fail the headline metric
+                extra["steps_per_sec_512"] = f"error: {type(e).__name__}"
+        else:
+            extra["steps_per_sec_512"] = "skipped: compile budget spent"
+        # ---- warm 48-frame long clip ------------------------------------
+        if _budget_left(budget_s) > 180:
+            try:
+                import numpy as np
+                import jax.numpy as jnp
+
+                from emox.infer.pipeline import EMOPipeline
+
+                pipe = EMOPipeline(model, cfg)
+                ref = jnp.zeros((1, 256, 256, 3), jnp.bfloat16)
+                wav = jnp.zeros((1, int(16000 * 50 / 25.0)), jnp.bfloat16)
+                kw = dict(total_frames=48, segment_length=16, num_motion_frames=2,
+                          num_inference_steps=20)
+                np.asarray(pipe.generate_long(params, ref, wav, **kw))  # compile
+                t0 = time.perf_counter()
+                np.asarray(pipe.generate_long(params, ref, wav, **kw))
+                extra["long_clip_48f_s"] = round(time.perf_counter() - t0, 2)
+            except Exception as e:
+                extra["long_clip_48f_s"] = f"error: {type(e).__name__}"
+        else:
+            extra["long_clip_48f_s"] = "skipped: compile budget spent"
 
     result = {
         "metric": f"denoise steps/sec/chip ({preset}, {num_frames}f {image_size}^2, bf16, full conditioning)",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / 1.0, 4),
-        "extra": {
-            "ms_per_step": round(dt * 1e3, 2),
-            "frames_per_sec_equiv": round(steps_per_sec * num_frames, 2),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

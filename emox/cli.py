@@ -289,6 +289,21 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_train_face(args) -> int:
+    """Train the FaceLocator+FaceLandmarkNet provider nets on the
+    synthetic face distribution and write the shipped asset (the
+    MediaPipe-replacement bootstrap, reference Net.py:861-1156)."""
+    from emox.train.face_nets import save_face_nets, train_face_nets
+
+    params, metrics = train_face_nets(
+        steps=args.steps, batch_size=args.batch_size, image_size=args.size,
+        learning_rate=args.lr, seed=args.seed,
+    )
+    path = save_face_nets(params, args.out) if args.out else save_face_nets(params)
+    print(json.dumps({"asset": path, **{k: round(v, 6) for k, v in metrics.items()}}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     os.environ["EMOX_BENCH_PRESET"] = args.preset
     if args.iters:
@@ -464,6 +479,15 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--ema", action="store_true", help="export EMA shadow weights when present")
     px.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
     px.set_defaults(fn=cmd_export)
+
+    pf = sub.add_parser("train-face", help="train + ship the FaceLocator/FaceLandmarkNet asset")
+    pf.add_argument("--steps", type=int, default=1500)
+    pf.add_argument("--batch-size", type=int, default=32)
+    pf.add_argument("--size", type=int, default=128)
+    pf.add_argument("--lr", type=float, default=2e-3)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.add_argument("--out", default=None, help="default: emox/assets/face_nets.npz")
+    pf.set_defaults(fn=cmd_train_face)
 
     pb = sub.add_parser("bench", help="denoise-step throughput benchmark")
     pb.add_argument("--preset", default="tiny", choices=("tiny", "small", "flagship", "flagship512"))

@@ -296,6 +296,12 @@ class TrainConfig:
     seed: int = 0
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # storage dtype for FROZEN leaves: "compute" (default; bf16 saves
+    # ~4.4 GB at flagship scale but checkpoints then persist frozen leaves
+    # in bf16 — a ONE-WAY precision loss if a later stage unfreezes them)
+    # or "param" (keep fp32 masters for frozen leaves; needed when a later
+    # fine-tune will unfreeze earlier-stage weights)
+    frozen_dtype: str = "compute"
 
 
 @dataclass(frozen=True)

@@ -122,15 +122,25 @@ def augment_clip(
     cfg: AugmentConfig,
     rng: np.random.Generator,
     points: Optional[np.ndarray] = None,  # [..., 6, 2] normalised (y, x)
+    extra_maps: Optional[np.ndarray] = None,  # [T, H, W, C] continuous maps
 ):
     """One shared AugmentParams for the whole clip: temporal consistency,
-    and frame/mask/landmark geometric alignment (the invariant the
+    and frame/mask/landmark/control geometric alignment (the invariant the
     reference's shared-RNG dance exists to guarantee).
 
-    Returns (frames, masks) — or (frames, masks, points) when `points` is
-    given, transformed through the same geometry."""
+    extra_maps (e.g. stage-4 ControlNet pose renders) go through the SAME
+    geometry as the frames they condition — no colour jitter, no binary
+    threshold (ADVICE r2: unaugmented control renders were geometrically
+    misaligned with their augmented target frames).
+
+    Returns (frames, masks[, points][, extra_maps]) in argument order."""
     if not cfg.enabled:
-        return (frames, masks) if points is None else (frames, masks, points)
+        out = [frames, masks]
+        if points is not None:
+            out.append(points)
+        if extra_maps is not None:
+            out.append(extra_maps)
+        return tuple(out)
     t, h, w = frames.shape[:3]
     p = sample_params(cfg, rng, h, w)
     out_frames = np.stack([augment_frame(f, p, h, w, color=True) for f in frames])
@@ -140,6 +150,11 @@ def augment_clip(
             (augment_frame(m.astype(np.float32), p, h, w, color=False) > 0.5).astype(np.float32)
             for m in masks
         ])
-    if points is None:
-        return out_frames, out_masks
-    return out_frames, out_masks, apply_geometry_points(points, p, h, w)
+    out = [out_frames, out_masks]
+    if points is not None:
+        out.append(apply_geometry_points(points, p, h, w))
+    if extra_maps is not None:
+        out.append(np.stack([
+            augment_frame(m.astype(np.float32), p, h, w, color=False) for m in extra_maps
+        ]))
+    return tuple(out)

@@ -115,12 +115,17 @@ class EMODataset:
             return self._store.has(cid, key)
         return key in self._load(path)
 
-    def _augment(self, frames, masks, rng, points=None):
+    def _augment(self, frames, masks, rng, points=None, extra_maps=None):
         if self.augment is None:
-            return (frames, masks) if points is None else (frames, masks, points)
+            out = [frames, masks]
+            if points is not None:
+                out.append(points)
+            if extra_maps is not None:
+                out.append(extra_maps)
+            return tuple(out)
         from emox.data.augment import augment_clip
 
-        return augment_clip(frames, masks, self.augment, rng, points=points)
+        return augment_clip(frames, masks, self.augment, rng, points=points, extra_maps=extra_maps)
 
     def __len__(self) -> int:
         return len(self.clips)
@@ -146,14 +151,22 @@ class EMODataset:
             f = int(rng.integers(t_total))
             frames = self._get(cid, path, "frames", [f])
             masks = self._get(cid, path, "face_masks", [f])
-            if self._has(cid, path, "landmarks"):
-                # landmark targets go through the SAME crop/flip geometry as
-                # the image they supervise (incl. left/right point swap)
-                lms = self._get(cid, path, "landmarks", [f])
-                frames, masks, lms = self._augment(frames, masks, rng, points=lms)
-                return {"images": frames[0], "masks": masks[0], "landmarks": lms[0]}
-            frames, masks = self._augment(frames, masks, rng)
-            return {"images": frames[0], "masks": masks[0]}
+            # ALWAYS emit landmarks + a per-item validity flag: a batch that
+            # mixes annotated and bare clips keeps landmark supervision for
+            # the annotated items instead of silently dropping the key for
+            # everyone (ADVICE r2; the loss masks by 'landmarks_valid')
+            has_lm = self._has(cid, path, "landmarks")
+            lms = (
+                self._get(cid, path, "landmarks", [f])
+                if has_lm else np.full((1, 6, 2), 0.5, np.float32)
+            )
+            # landmark targets go through the SAME crop/flip geometry as
+            # the image they supervise (incl. left/right point swap)
+            frames, masks, lms = self._augment(frames, masks, rng, points=lms)
+            return {
+                "images": frames[0], "masks": masks[0], "landmarks": lms[0],
+                "landmarks_valid": np.float32(1.0 if has_lm else 0.0),
+            }
         if self.stage == "stage1":
             f, r = (int(v) for v in rng.integers(t_total, size=2))
             frames, _ = self._augment(self._get(cid, path, "frames", [f, r]), None, rng)
@@ -180,15 +193,23 @@ class EMODataset:
             mask_rows = None
         frames = self._get(cid, path, "frames", fetch)
         masks = self._get(cid, path, "face_masks", mask_rows) if mask_rows else None
-        frames, masks = self._augment(frames, masks, rng)
+        control = self._get(cid, path, "control", idx) if has_control else None
+        if control is not None:
+            # cached pose renders go through the SAME AugmentParams geometry
+            # as the frames they condition — colour untouched, no threshold
+            # (ADVICE r2: unaugmented control was misaligned under crops/flips)
+            frames, masks, control = self._augment(frames, masks, rng, extra_maps=control)
+        else:
+            frames, masks = self._augment(frames, masks, rng)
         item = {"frames": frames[:t], "ref_image": frames[-1]}
         if self.num_motion_frames > 0:
             item["motion_frames"] = frames[t : t + self.num_motion_frames]
         if self.stage == "stage4-control":
             # dense per-frame conditioning renders; the cache may ship real
-            # pose renders under "control", else face masks act as the
-            # conditioning signal (reference controlnet cond image role)
-            item["control"] = self._get(cid, path, "control", idx) if has_control else masks
+            # pose renders under "control" (precompute writes a landmark
+            # skeleton render), else face masks act as the conditioning
+            # signal (reference controlnet cond image role)
+            item["control"] = control if control is not None else masks
             return item
         item["wav"] = self._wav_slice(self._get(cid, path, "wav"), start)
         if self.stage == "stage3":

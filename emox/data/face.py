@@ -162,6 +162,42 @@ class FaceHelper:
         return cls(landmark_fn=landmark_fn, locator_fn=locator_fn)
 
     @classmethod
+    def from_asset(cls, path: Optional[str] = None) -> Optional["FaceHelper"]:
+        """Provider backed by the SHIPPED trained face nets
+        (emox/assets/face_nets.npz, produced by `python -m emox train-face`
+        on the synthetic face distribution) — the zero-setup default for
+        `emox precompute` on a bare mp4, replacing the reference's
+        MediaPipe dependency (reference Net.py:861-1156). Returns None when
+        no asset file exists."""
+        from emox.train.face_nets import build_modules, load_face_nets
+
+        params = load_face_nets(path)
+        if params is None:
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        locator, landmarker = build_modules()
+        locate = jax.jit(lambda im: jax.nn.sigmoid(locator.apply({"params": params["face_locator"]}, im)))
+        landmark = jax.jit(lambda im: landmarker.apply({"params": params["landmarker"]}, im))
+
+        def locator_fn(frame: np.ndarray) -> np.ndarray:
+            f = np.asarray(frame, np.float32)
+            if f.max() > 1.5:
+                f = f / 127.5 - 1.0
+            return np.asarray(locate(jnp.asarray(f)[None]))[0]
+
+        def landmark_fn(frame: np.ndarray) -> np.ndarray:
+            f = np.asarray(frame, np.float32)
+            if f.max() > 1.5:
+                f = f / 127.5 - 1.0
+            lm = np.asarray(landmark(jnp.asarray(f)[None]))[0]  # [6, 2] (y, x) in [0,1]
+            h, w = frame.shape[:2]
+            return np.stack([lm[:, 1] * w, lm[:, 0] * h], axis=-1)  # pixel (x, y)
+
+        return cls(landmark_fn=landmark_fn, locator_fn=locator_fn)
+
+    @classmethod
     def from_landmark_file(cls, path: str) -> "FaceHelper":
         """Provider over an external landmark export: .npy [T, 6, 2] pixel
         (x, y) landmarks from any offline detector. Frames are consumed in
@@ -214,3 +250,51 @@ class FaceHelper:
             last = p if p is not None else last
             poses.append(last)
         return pose_velocities(np.stack(poses), fps)
+
+
+# connection pairs over the 6 canonical points (indices into CANONICAL_3D):
+# eye line, nose->chin axis, mouth line, nose->eyes, chin->mouth corners
+_SKELETON_EDGES = ((2, 3), (0, 1), (4, 5), (0, 2), (0, 3), (1, 4), (1, 5))
+
+
+def render_landmark_skeleton(
+    landmarks_norm: np.ndarray, height: int, width: int, radius: float = 0.02, sigma: float = 0.012
+) -> np.ndarray:
+    """Normalised (y, x) [T, 6, 2] landmark series -> dense conditioning
+    renders [T, H, W, 3] in [0, 1]: gaussian keypoint blobs (R), skeleton
+    line segments (G), and the nose->chin pose axis emphasised (B) — the
+    ControlNet conditioning-signal class the reference intends (reference
+    magicanimate/models/controlnet.py:49-91 cond embedding over dense pose
+    images). Pure numpy, offline only.
+    """
+    lm = np.asarray(landmarks_norm, np.float32)
+    t = lm.shape[0]
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    yn, xn = yy / height, xx / width
+    sig2 = 2.0 * sigma * sigma
+    line_w = max(radius * 0.35, 1.5 / max(height, width))
+    out = np.zeros((t, height, width, 3), np.float32)
+
+    def seg_dist(p0, p1):
+        """Distance from every pixel to segment p0-p1 (normalised coords)."""
+        d = p1 - p0
+        denom = float(d @ d) + 1e-12
+        tt = ((yn - p0[0]) * d[0] + (xn - p0[1]) * d[1]) / denom
+        tt = np.clip(tt, 0.0, 1.0)
+        cy = p0[0] + tt * d[0]
+        cx = p0[1] + tt * d[1]
+        return np.sqrt((yn - cy) ** 2 + (xn - cx) ** 2)
+
+    for f in range(t):
+        pts = lm[f]
+        blobs = np.zeros((height, width), np.float32)
+        for p in pts:
+            blobs = np.maximum(blobs, np.exp(-((yn - p[0]) ** 2 + (xn - p[1]) ** 2) / sig2))
+        lines = np.zeros((height, width), np.float32)
+        for a, b in _SKELETON_EDGES:
+            lines = np.maximum(lines, (seg_dist(pts[a], pts[b]) < line_w).astype(np.float32))
+        axis = (seg_dist(pts[0], pts[1]) < line_w * 1.5).astype(np.float32)
+        out[f, ..., 0] = blobs
+        out[f, ..., 1] = lines
+        out[f, ..., 2] = axis
+    return out

@@ -131,3 +131,81 @@ def write_fixture_dataset(
     with open(meta_path, "w") as f:
         json.dump({"clips": clips}, f)
     return meta_path
+
+
+def synthetic_face_frame(
+    rng: np.random.Generator, height: int = 128, width: int = 128
+) -> Dict[str, np.ndarray]:
+    """One domain-randomised synthetic face frame with landmark + mask GT —
+    the training distribution for the shipped FaceLocator/FaceLandmarkNet
+    weights (the trained replacement for the reference's MediaPipe
+    FaceDetection + FaceMesh, reference Net.py:861-1156).
+
+    Randomised: head position/size/aspect, in-plane rotation (roll), a
+    yaw-like horizontal feature shift, skin/background colours, background
+    gradient, pixel noise, brightness. Landmarks are the 6 PnP points in
+    emox.data.face.CANONICAL_3D order, normalised (y, x).
+
+    Returns {"image" [H,W,3] in [-1,1], "mask" [H,W,1], "landmarks" [6,2]}.
+    """
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    fy = (0.3 + 0.4 * rng.random()) * height
+    fx = (0.3 + 0.4 * rng.random()) * width
+    ry = (0.16 + 0.18 * rng.random()) * height
+    rx = ry * (0.6 + 0.3 * rng.random()) * width / height
+    roll = (rng.random() - 0.5) * 0.9  # +/- ~26 degrees
+    yaw = (rng.random() - 0.5) * 0.8  # feature shift proxy for head turn
+    cr, sr = np.cos(roll), np.sin(roll)
+
+    def place(dy, dx):
+        """Head-local (dy, dx) in ellipse units -> rotated pixel coords."""
+        dx = dx + yaw * 0.3 * (1.0 - abs(dy))  # yaw shifts features sideways
+        py = dy * ry * cr - dx * rx * sr
+        px = dy * ry * sr + dx * rx * cr
+        return fy + py, fx + px
+
+    # rotated ellipse mask
+    u = (yy - fy) * cr + (xx - fx) * sr
+    v = -(yy - fy) * sr + (xx - fx) * cr
+    head = (u / ry) ** 2 + (v / rx) ** 2 <= 1.0
+
+    # background: gradient + noise
+    bg = rng.random(3).astype(np.float32) * 0.8 - 0.9
+    gdir = rng.random(2).astype(np.float32) - 0.5
+    grad = (yy / height * gdir[0] + xx / width * gdir[1])[..., None] * (0.4 * rng.random())
+    img = np.broadcast_to(bg, (height, width, 3)) + grad
+    img = np.ascontiguousarray(img, np.float32)
+    skin = rng.random(3).astype(np.float32) * 0.5 + 0.3
+    img[head] = skin
+
+    # eyes
+    for ex in (-0.4, 0.4):
+        ey, exx = place(-0.3, ex)
+        eye = ((yy - ey) / (0.12 * ry)) ** 2 + ((xx - exx) / (0.18 * rx)) ** 2 <= 1.0
+        img[eye] = (-0.6, -0.6, -0.6)
+    # mouth
+    my, mx = place(0.45, 0.0)
+    mh = (0.08 + 0.3 * rng.random()) * ry
+    mouth = ((yy - my) / mh) ** 2 + ((xx - mx) / (0.35 * rx)) ** 2 <= 1.0
+    img[mouth] = (-0.7, -0.2, -0.2)
+
+    # occasional occluder rectangle (robustness)
+    if rng.random() < 0.3:
+        oy, ox = rng.integers(0, height // 2), rng.integers(0, width // 2)
+        oh, ow = rng.integers(4, height // 4), rng.integers(4, width // 4)
+        img[oy : oy + oh, ox : ox + ow] = rng.random(3).astype(np.float32) * 2 - 1
+    img = img + rng.normal(0, 0.02 + 0.04 * rng.random(), img.shape).astype(np.float32)
+    img = np.clip(img + (rng.random() - 0.5) * 0.3, -1.0, 1.0).astype(np.float32)
+
+    pts = [place(*d) for d in ((0.0, 0.0), (0.95, 0.0), (-0.3, -0.4), (-0.3, 0.4), (0.45, -0.35), (0.45, 0.35))]
+    landmarks = np.asarray(pts, np.float32) / np.array([height, width], np.float32)
+    return {
+        "image": img,
+        "mask": head[..., None].astype(np.float32),
+        "landmarks": np.clip(landmarks, 0.0, 1.0),
+    }
+
+
+def synthetic_face_batch(rng: np.random.Generator, batch: int, height: int = 128, width: int = 128):
+    items = [synthetic_face_frame(rng, height, width) for _ in range(batch)]
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}

@@ -19,6 +19,31 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _try_build(path: str) -> None:
+    """Best-effort `make -C native` when the .so is absent and a compiler
+    exists (compiler-gated; set EMOX_NATIVE_NO_BUILD=1 to disable). Keeps
+    the native kernels on by default instead of silently falling back to
+    numpy on every fresh checkout."""
+    if os.environ.get("EMOX_NATIVE_NO_BUILD"):
+        return
+    import shutil
+    import subprocess
+
+    native_dir = os.path.dirname(os.path.abspath(path))
+    if not os.path.exists(os.path.join(native_dir, "Makefile")):
+        return
+    cxx = os.environ.get("CXX", "g++")
+    if shutil.which(cxx) is None or shutil.which("make") is None:
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir], check=False, timeout=120,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except Exception:
+        pass
+
+
 def _lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
@@ -28,6 +53,8 @@ def _lib() -> Optional[ctypes.CDLL]:
         "EMOX_NATIVE_LIB",
         os.path.join(os.path.dirname(__file__), "..", "..", "native", "libemoxhost.so"),
     )
+    if not os.path.exists(path):
+        _try_build(path)
     try:
         lib = ctypes.CDLL(os.path.abspath(path))
         lib.eh_abi_version.restype = ctypes.c_int

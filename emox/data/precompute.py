@@ -147,7 +147,12 @@ def precompute_clip(
             wav = np.zeros(int(len(frames) / fps * sample_rate), np.float32)
         masks = speeds = vel3 = None
 
-    fh = face_helper or FaceHelper()
+    fh = face_helper
+    if fh is None:
+        # shipped trained face nets (emox/assets/face_nets.npz) are the
+        # zero-setup default — a bare mp4 gets real masks + nonzero pose
+        # velocities; geometric-prior fallback only when no asset ships
+        fh = FaceHelper.from_asset() or FaceHelper()
     if masks is None:
         masks = np.stack([fh.face_mask(f) for f in frames])
     if fh.landmark_fn is not None and (speeds is None or vel3 is None or landmarks is None):
@@ -176,6 +181,17 @@ def precompute_clip(
             vel3 = pose_velocities_3d(poses, fps)
         if landmarks is None:
             landmarks = np.clip(np.stack(lms), 0.0, 1.0)
+    if speeds is None or vel3 is None:
+        # ADVICE r2: silently-zero velocities let stage-3 train its speed
+        # conditioning on constants — make the gap loud
+        import warnings
+
+        warnings.warn(
+            f"{src_path}: no landmark source (no shipped face-net asset, no "
+            "<clip>.landmarks.npy, no --face-ckpt) — pose velocities written "
+            "as zeros; stage-3 speed conditioning would train on constants",
+            stacklevel=2,
+        )
     if speeds is None:
         speeds = np.zeros(len(frames), np.float32)
     if vel3 is None:
@@ -189,6 +205,14 @@ def precompute_clip(
     }
     if landmarks is not None:
         out["landmarks"] = np.asarray(landmarks, np.float32)[: len(frames)]
+        # dense ControlNet conditioning: landmark-skeleton pose renders
+        # (the signal class the reference's controlnet conditions on,
+        # reference magicanimate/models/controlnet.py:49-91) — stage 4
+        # trains on these instead of the face-mask fallback
+        from emox.data.face import render_landmark_skeleton
+
+        h_, w_ = frames.shape[1:3]
+        out["control"] = render_landmark_skeleton(out["landmarks"], h_, w_)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.savez_compressed(out_path, **out)
     return out

@@ -180,7 +180,11 @@ class UNet(nn.Module):
             heads, head_dim = self._heads(level_ch)
             rkv = None
             if ref_features is not None and not emit_ref:
-                rkv = [jnp.repeat(r, t, axis=0) for r in ref_features[site]]
+                # UNREPEATED [B, Lr, C] tokens: K/V projection happens once
+                # per site inside Attention, then repeats across frames
+                # (project-then-broadcast == broadcast-then-project, saving
+                # (t-1)/t of the ref K/V matmul FLOPs)
+                rkv = list(ref_features[site])
             h, bank = ST(
                 heads, head_dim, depth=self.spatial_depth,
                 groups=cfg.norm_groups, sparse_causal=cfg.use_sparse_causal,

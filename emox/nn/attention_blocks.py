@@ -62,18 +62,40 @@ class Attention(nn.Module):
         x: jax.Array,
         context: Optional[jax.Array] = None,
         extra_kv: Optional[jax.Array] = None,
+        extra_tile: int = 1,
+        extra_drop: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """extra_kv tokens are projected ONCE and then repeated extra_tile x
+        along the batch axis — reference-image tokens are identical for
+        every video frame, so projecting them per frame (the naive concat-
+        then-project) wastes 15/16ths of the ref K/V matmul FLOPs at 16
+        frames. Projection is rowwise-linear, so project-then-select/concat
+        is exactly the concat-then-project math. extra_drop rows substitute
+        the row's OWN projected tokens (the duplication uncond trick —
+        softmax over duplicated tokens == plain self-attention; requires
+        context=None and matching token counts)."""
         inner = self.heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
         ctx = x if context is None else context
-        if extra_kv is not None:
-            ctx = jnp.concatenate([ctx, extra_kv.astype(ctx.dtype)], axis=1)
         dense = lambda d, name: nn.Dense(
             d, use_bias=self.qkv_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
+        to_k = dense(inner, "to_k")
+        to_v = dense(inner, "to_v")
         q = dense(inner, "to_q")(x)
-        k = dense(inner, "to_k")(ctx)
-        v = dense(inner, "to_v")(ctx)
+        k = to_k(ctx)
+        v = to_v(ctx)
+        if extra_kv is not None:
+            ke = to_k(extra_kv.astype(self.dtype))
+            ve = to_v(extra_kv.astype(self.dtype))
+            if extra_tile > 1:
+                ke = jnp.repeat(ke, extra_tile, axis=0)
+                ve = jnp.repeat(ve, extra_tile, axis=0)
+            if extra_drop is not None:
+                ke = jnp.where(extra_drop[:, None, None], k, ke)
+                ve = jnp.where(extra_drop[:, None, None], v, ve)
+            k = jnp.concatenate([k, ke], axis=1)
+            v = jnp.concatenate([v, ve], axis=1)
         # packed layout [N, L, H*D] straight through the kernel — the head
         # axis never materialises (no transpose, no layout copies)
         out = dot_product_attention_nlc(q, k, v, self.heads, impl=self.impl)
@@ -116,9 +138,10 @@ class TransformerBlock(nn.Module):
         self,
         x: jax.Array,
         context: Optional[jax.Array] = None,
-        ref_kv: Optional[jax.Array] = None,
+        ref_kv: Optional[jax.Array] = None,  # [B, Lr, C] UNREPEATED writer tokens
         sc_gather=None,
         ref_drop: Optional[jax.Array] = None,  # [N] bool, True = drop ref
+        ref_tile: int = 1,  # frames per ref row (N = B * ref_tile)
     ):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         attn = lambda name, **kw: Attention(
@@ -131,25 +154,27 @@ class TransformerBlock(nn.Module):
         # (reference magicanimate/models/attention.py SparseCausalAttention2D)
         sc_kv = sc_gather(normed1) if sc_gather is not None else None
         if ref_kv is not None and ref_drop is not None and sc_kv is None:
-            # True "no reference" rows: substituting the row's OWN normed
-            # tokens for the ref tokens makes K/V = [own, own], and softmax
-            # over duplicated tokens equals plain self-attention exactly —
-            # the reference's uncond bank masking (reference
-            # mutual_self_attention.py:243-255) without a second program.
-            # Used for the CFG uncond half and training-time ref dropout.
-            ref_kv = jnp.where(ref_drop[:, None, None], normed1, ref_kv.astype(normed1.dtype))
-            x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv)
+            # True "no reference" rows (CFG uncond half / training ref
+            # dropout): Attention substitutes the row's OWN projected tokens
+            # for the projected ref tokens — softmax over duplicated tokens
+            # equals plain self-attention exactly, the reference's uncond
+            # bank masking (reference mutual_self_attention.py:243-255)
+            # without a second program. Ref tokens are projected once and
+            # frame-repeated AFTER projection (see Attention docstring).
+            x = x + attn("attn1")(
+                normed1, extra_kv=ref_kv, extra_tile=ref_tile, extra_drop=ref_drop
+            )
         elif ref_kv is not None and ref_drop is not None:
             # sparse-causal K/V base is [first, prev] tokens, whose length
             # differs from the ref bank, so the duplication trick above
             # cannot express "no reference" — run both branches and select
             # per row (exact, paid only in the rare sc+ref-dropout combo)
             a1 = attn("attn1")
-            with_ref = a1(normed1, context=sc_kv, extra_kv=ref_kv.astype(normed1.dtype))
+            with_ref = a1(normed1, context=sc_kv, extra_kv=ref_kv, extra_tile=ref_tile)
             without = a1(normed1, context=sc_kv)
             x = x + jnp.where(ref_drop[:, None, None], without, with_ref)
         else:
-            x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv)
+            x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv, extra_tile=ref_tile)
         if self.use_cross and context is not None:
             x = x + attn("attn2")(ln("norm2")(x), context=context)
         x = x + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))
@@ -181,7 +206,7 @@ class SpatialTransformer(nn.Module):
         self,
         x: jax.Array,  # [(B T), H, W, C]
         context: Optional[jax.Array] = None,  # [(B T), Lc, Cc]
-        ref_kv: Optional[list] = None,  # per-depth-block [(B T), Lr, C]
+        ref_kv: Optional[list] = None,  # per-depth-block [B, Lr, C] (UNREPEATED)
         ref_drop: Optional[jax.Array] = None,  # [(B T)] bool, True = drop ref
     ):
         n, h, w, c = x.shape
@@ -207,7 +232,7 @@ class SpatialTransformer(nn.Module):
                 self.heads, self.head_dim, use_cross=self.use_cross, impl=self.impl,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block_{i}",
             )(hdn, context=context, ref_kv=None if ref_kv is None else ref_kv[i],
-              sc_gather=sc_gather, ref_drop=ref_drop)
+              sc_gather=sc_gather, ref_drop=ref_drop, ref_tile=self.num_frames)
             banks.append(normed1)
         hdn = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(hdn)
         return residual + hdn.reshape(n, h, w, c), banks

@@ -50,6 +50,12 @@ def group_norm_xla(
     *lead, l, c = x.shape
     cg = c // groups
     xg = x.reshape(*lead, l, groups, cg)
+    # Two separate reduces, deliberately: a single VARIADIC lax.reduce
+    # computing (sum, sumsq) in one pass looks like it should halve the
+    # 8.8 ms convert_reduce stat bucket, but measured on v5e it lowers off
+    # XLA's optimized reduce path and LOSES 18% end-to-end (flagship 256^2:
+    # 50.7 vs 41.8 ms/step, round-3 A/B). XLA's two convert_reduce fusions
+    # are the fastest known formulation at these shapes.
     mean = jnp.mean(xg.astype(jnp.float32), axis=(-3, -1), keepdims=True)  # [..., 1, G, 1]
     var = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(-3, -1), keepdims=True) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)

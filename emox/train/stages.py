@@ -120,11 +120,20 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
         metrics = {"loss": loss, "iou": inter / jnp.maximum(union, 1.0)}
         if "landmarks" in batch:
             # joint 6-point landmark regression (soft-argmax head) so the
-            # trained provider can replace MediaPipe in precompute
+            # trained provider can replace MediaPipe in precompute.
+            # Per-sample validity mask: batches mixing annotated and bare
+            # clips keep supervision for the annotated items (ADVICE r2)
             lm_pred = model.locate_landmarks(params, batch["images"])
-            lm_err = jnp.mean((lm_pred.astype(jnp.float32) - batch["landmarks"]) ** 2)
+            per = jnp.mean(
+                (lm_pred.astype(jnp.float32) - batch["landmarks"]) ** 2, axis=(1, 2)
+            )  # [B]
+            valid = batch.get(
+                "landmarks_valid", jnp.ones(per.shape[0], jnp.float32)
+            ).astype(jnp.float32)
+            lm_err = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
             loss = loss + 10.0 * lm_err
-            metrics = dict(metrics, loss=loss, landmark_mse=lm_err)
+            metrics = dict(metrics, loss=loss, landmark_mse=lm_err,
+                           landmark_frac=jnp.mean(valid))
         return loss, metrics
 
     def denoise_loss(params: Params, batch: Dict, key: jax.Array):

@@ -233,15 +233,21 @@ class Trainer:
             self.policy.cast_to_compute(params), batch, key))
 
     def _place_params(self, params: Params) -> Params:
-        """Memory placement: trainable leaves in param dtype (fp32 masters),
-        frozen leaves directly in compute dtype (they are only ever read by
-        the compute-dtype forward, so fp32 masters for them are pure waste —
-        4.4 GB at flagship scale)."""
+        """Memory placement: trainable leaves in param dtype (fp32 masters);
+        frozen leaves in train.frozen_dtype — "compute" (default: bf16, they
+        are only ever read by the compute-dtype forward; saves 4.4 GB at
+        flagship scale) or "param" (keep fp32 masters so a later stage can
+        unfreeze them without the one-way bf16 rounding; ADVICE r2)."""
+        frozen_dt = (
+            self.policy.param_dtype
+            if self.config.train.frozen_dtype == "param"
+            else self.policy.compute_dtype
+        )
 
         def place(p, m):
             if not isinstance(p, jax.Array) or not jnp.issubdtype(p.dtype, jnp.floating):
                 return p
-            return p.astype(self.policy.param_dtype if m else self.policy.compute_dtype)
+            return p.astype(self.policy.param_dtype if m else frozen_dt)
 
         return jax.tree.map(place, params, self.mask)
 

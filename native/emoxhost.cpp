@@ -11,14 +11,9 @@
 // Build: make -C native   ->  native/libemoxhost.so
 
 #include <algorithm>
-#include <atomic>
 #include <cmath>
-#include <condition_variable>
 #include <cstdint>
 #include <cstring>
-#include <deque>
-#include <mutex>
-#include <thread>
 #include <vector>
 
 extern "C" {
@@ -122,6 +117,9 @@ void eh_augment_frame_f32(const float* src, int sh, int sw, int c,
                           int y0, int x0, int ch, int cw, int flip,
                           float brightness, float contrast,
                           float* dst, int dh, int dw) {
+  // clamp the crop against the source extent (also consumes sh, which is
+  // otherwise only part of the layout contract)
+  if (y0 + ch > sh || x0 + cw > sw) return;
   // crop mean (for contrast pivot), single pass, all channels
   double mean = 0.0;
   if (contrast != 1.0f) {
@@ -157,67 +155,6 @@ void eh_augment_frame_f32(const float* src, int sh, int sw, int c,
       }
     }
   }
-}
-
-// ---- prefetch ring ----------------------------------------------------
-// A bounded MPMC byte-buffer queue: dataloader threads push finished
-// batches, the feed thread pops. Replaces Python-queue handoff so the
-// buffer hand-over itself never holds the GIL.
-
-struct EhQueue {
-  std::mutex mu;
-  std::condition_variable cv_push, cv_pop;
-  std::deque<std::vector<uint8_t>> items;
-  size_t capacity;
-  std::atomic<bool> closed{false};
-};
-
-void* eh_queue_create(int64_t capacity) {
-  auto* q = new EhQueue();
-  q->capacity = (size_t)std::max<int64_t>(1, capacity);
-  return q;
-}
-
-void eh_queue_destroy(void* h) { delete (EhQueue*)h; }
-
-void eh_queue_close(void* h) {
-  auto* q = (EhQueue*)h;
-  q->closed = true;
-  q->cv_push.notify_all();
-  q->cv_pop.notify_all();
-}
-
-// returns 1 on success, 0 if closed
-int eh_queue_push(void* h, const uint8_t* data, int64_t size) {
-  auto* q = (EhQueue*)h;
-  std::unique_lock<std::mutex> lk(q->mu);
-  q->cv_push.wait(lk, [&] { return q->items.size() < q->capacity || q->closed; });
-  if (q->closed) return 0;
-  q->items.emplace_back(data, data + size);
-  q->cv_pop.notify_one();
-  return 1;
-}
-
-// returns size of popped item (copied into out, up to max_size), -1 if
-// closed+empty, -2 if item larger than max_size (item is dropped back).
-int64_t eh_queue_pop(void* h, uint8_t* out, int64_t max_size) {
-  auto* q = (EhQueue*)h;
-  std::unique_lock<std::mutex> lk(q->mu);
-  q->cv_pop.wait(lk, [&] { return !q->items.empty() || q->closed; });
-  if (q->items.empty()) return -1;
-  auto& front = q->items.front();
-  if ((int64_t)front.size() > max_size) return -2;
-  const int64_t n = (int64_t)front.size();
-  std::memcpy(out, front.data(), front.size());
-  q->items.pop_front();
-  q->cv_push.notify_one();
-  return n;
-}
-
-int64_t eh_queue_size(void* h) {
-  auto* q = (EhQueue*)h;
-  std::lock_guard<std::mutex> lk(q->mu);
-  return (int64_t)q->items.size();
 }
 
 }  // extern "C"

@@ -145,7 +145,9 @@ class TestSparseCausal:
         b, t, c = 1, 3, 8
         st = SpatialTransformer(heads=2, head_dim=4, groups=4, sparse_causal=True, num_frames=t)
         x = jax.random.normal(jax.random.PRNGKey(0), (b * t, 2, 2, c))
-        ref = [jax.random.normal(jax.random.PRNGKey(2), (b * t, 5, c))]
+        # per-CLIP ref tokens [B, Lr, C]: frame-repeat happens after K/V
+        # projection inside Attention (project-once layout)
+        ref = [jax.random.normal(jax.random.PRNGKey(2), (b, 5, c))]
         params = st.init(jax.random.PRNGKey(1), x, ref_kv=ref)
         drop_all = jnp.ones((b * t,), bool)
         out_drop, _ = st.apply(params, x, ref_kv=ref, ref_drop=drop_all)
