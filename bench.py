@@ -152,20 +152,7 @@ def main() -> None:
     }
 
     if preset == "flagship" and not os.environ.get("EMOX_BENCH_NO_EXTRAS"):
-        # ---- 512^2 denoise step (reference train res) -------------------
-        if _budget_left(budget_s) > 240:
-            try:
-                cfg5, model5, params5 = _build("flagship512", 512, num_frames)
-                args5 = _step_args(cfg5, model5, params5, 512, num_frames)
-                ms5, _ = _measure_step_ms(model5, args5, max(3, iters // 4))
-                extra["steps_per_sec_512"] = round(1e3 / ms5, 3)
-                extra["ms_per_step_512"] = round(ms5, 1)
-                del model5, params5, args5
-            except Exception as e:  # record, don't fail the headline metric
-                extra["steps_per_sec_512"] = f"error: {type(e).__name__}"
-        else:
-            extra["steps_per_sec_512"] = "skipped: compile budget spent"
-        # ---- warm 48-frame long clip ------------------------------------
+        # ---- warm 48-frame long clip (reuses the 256^2 model) ------------
         if _budget_left(budget_s) > 180:
             try:
                 import numpy as np
@@ -182,10 +169,32 @@ def main() -> None:
                 t0 = time.perf_counter()
                 np.asarray(pipe.generate_long(params, ref, wav, **kw))
                 extra["long_clip_48f_s"] = round(time.perf_counter() - t0, 2)
+                del pipe
             except Exception as e:
-                extra["long_clip_48f_s"] = f"error: {type(e).__name__}"
+                extra["long_clip_48f_s"] = f"error: {type(e).__name__}: {str(e)[:160]}"
         else:
             extra["long_clip_48f_s"] = "skipped: compile budget spent"
+        # ---- 512^2 denoise step (reference train res) --------------------
+        # free the 256^2 model's 2.2 GB of device params FIRST — two
+        # flagship param sets + activations do not fit 16 GB HBM together
+        if _budget_left(budget_s) > 240:
+            try:
+                import gc
+                import jax as _jax
+
+                del args
+                args = None
+                del model, params
+                gc.collect()
+                cfg5, model5, params5 = _build("flagship512", 512, num_frames)
+                args5 = _step_args(cfg5, model5, params5, 512, num_frames)
+                ms5, _ = _measure_step_ms(model5, args5, max(3, iters // 4))
+                extra["steps_per_sec_512"] = round(1e3 / ms5, 3)
+                extra["ms_per_step_512"] = round(ms5, 1)
+            except Exception as e:  # record, don't fail the headline metric
+                extra["steps_per_sec_512"] = f"error: {type(e).__name__}: {str(e)[:160]}"
+        else:
+            extra["steps_per_sec_512"] = "skipped: compile budget spent"
 
     result = {
         "metric": f"denoise steps/sec/chip ({preset}, {num_frames}f {image_size}^2, bf16, full conditioning)",

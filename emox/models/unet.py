@@ -157,7 +157,9 @@ class UNet(nn.Module):
             null = self.param("null_context", nn.initializers.normal(0.02), (1, 1, cfg.cross_attention_dim), self.param_dtype)
             if context is None:
                 context = jnp.broadcast_to(null, (b, 1, cfg.cross_attention_dim)).astype(self.dtype)
-        ctx_frames = None if context is None else jnp.repeat(context, t, axis=0)
+        # context stays [B, Lc, C]: K/V projection happens once per site
+        # inside Attention and the projected tokens repeat across frames
+        ctx_frames = context
 
         # ---- conv_in + face mask residual -------------------------------
         h, _ = fold_time(x.astype(self.dtype))

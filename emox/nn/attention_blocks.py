@@ -64,6 +64,7 @@ class Attention(nn.Module):
         extra_kv: Optional[jax.Array] = None,
         extra_tile: int = 1,
         extra_drop: Optional[jax.Array] = None,
+        context_tile: int = 1,
     ) -> jax.Array:
         """extra_kv tokens are projected ONCE and then repeated extra_tile x
         along the batch axis — reference-image tokens are identical for
@@ -85,6 +86,12 @@ class Attention(nn.Module):
         q = dense(inner, "to_q")(x)
         k = to_k(ctx)
         v = to_v(ctx)
+        if context is not None and context_tile > 1:
+            # per-clip context tokens (text prompt): project once, repeat
+            # the PROJECTED K/V across frames (same rowwise-linear argument
+            # as extra_kv — saves (t-1)/t of the context K/V matmuls)
+            k = jnp.repeat(k, context_tile, axis=0)
+            v = jnp.repeat(v, context_tile, axis=0)
         if extra_kv is not None:
             ke = to_k(extra_kv.astype(self.dtype))
             ve = to_v(extra_kv.astype(self.dtype))
@@ -142,6 +149,7 @@ class TransformerBlock(nn.Module):
         sc_gather=None,
         ref_drop: Optional[jax.Array] = None,  # [N] bool, True = drop ref
         ref_tile: int = 1,  # frames per ref row (N = B * ref_tile)
+        ctx_tile: int = 1,  # frames per context row (cross-attn prompt)
     ):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         attn = lambda name, **kw: Attention(
@@ -176,7 +184,7 @@ class TransformerBlock(nn.Module):
         else:
             x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv, extra_tile=ref_tile)
         if self.use_cross and context is not None:
-            x = x + attn("attn2")(ln("norm2")(x), context=context)
+            x = x + attn("attn2")(ln("norm2")(x), context=context, context_tile=ctx_tile)
         x = x + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))
         # normed1 is what a ReferenceNet "writer" banks for the reader's
         # self-attention K/V concat (reference mutual_self_attention.py:229-241)
@@ -205,7 +213,7 @@ class SpatialTransformer(nn.Module):
     def __call__(
         self,
         x: jax.Array,  # [(B T), H, W, C]
-        context: Optional[jax.Array] = None,  # [(B T), Lc, Cc]
+        context: Optional[jax.Array] = None,  # [B, Lc, Cc] (UNREPEATED per clip)
         ref_kv: Optional[list] = None,  # per-depth-block [B, Lr, C] (UNREPEATED)
         ref_drop: Optional[jax.Array] = None,  # [(B T)] bool, True = drop ref
     ):
@@ -232,7 +240,8 @@ class SpatialTransformer(nn.Module):
                 self.heads, self.head_dim, use_cross=self.use_cross, impl=self.impl,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block_{i}",
             )(hdn, context=context, ref_kv=None if ref_kv is None else ref_kv[i],
-              sc_gather=sc_gather, ref_drop=ref_drop, ref_tile=self.num_frames)
+              sc_gather=sc_gather, ref_drop=ref_drop, ref_tile=self.num_frames,
+              ctx_tile=self.num_frames)
             banks.append(normed1)
         hdn = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(hdn)
         return residual + hdn.reshape(n, h, w, c), banks
