@@ -85,9 +85,14 @@ def _step_args(cfg, model, params, image_size: int, num_frames: int):
         jnp.zeros((1, num_frames, cfg.model.speed_axes), jnp.bfloat16)
         if cfg.model.speed_axes > 1 else jnp.zeros((1, num_frames), jnp.bfloat16)
     )
+    # per-clip conditioning prep also covers the face-mask residual (it
+    # depends only on the static mask — the sampler encodes it once, the
+    # step consumes face_feat; exactly the per-step encoder's math)
+    face_feat = jax.jit(lambda p, m: model.encode_face_mask(p, m, lat))(
+        params, jnp.ones((1, image_size, image_size, 1), jnp.bfloat16)
+    )
     return (
-        params, noisy, jnp.array([500], jnp.int32), ref_latent, audio, speeds,
-        jnp.ones((1, image_size, image_size, 1), jnp.bfloat16),
+        params, noisy, jnp.array([500], jnp.int32), ref_latent, audio, speeds, face_feat,
     )
 
 
@@ -97,9 +102,9 @@ def _measure_step_ms(model, args, iters: int):
     import jax.numpy as jnp
 
     @jax.jit
-    def denoise_step(params, noisy, t, ref_latent, audio, speeds, face_mask):
+    def denoise_step(params, noisy, t, ref_latent, audio, speeds, face_feat):
         return model.predict_noise(
-            params, noisy, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask
+            params, noisy, t, ref_latent, audio_windows=audio, speeds=speeds, face_feat=face_feat
         )
 
     # Sync via a host scalar fetch, NOT block_until_ready: over the axon

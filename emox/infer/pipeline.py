@@ -72,6 +72,11 @@ class EMOPipeline:
                    ref_features=None, ref_gn=None):
         """CFG-combined noise prediction for the full latent clip.
 
+        NB: by the time this runs, `face_mask` holds the PRE-ENCODED
+        per-clip residual (EMOModel.encode_face_mask in generate_latents),
+        forwarded as predict_noise(face_feat=...) — identical math to the
+        in-step encoder, computed once per clip.
+
         Uncond is a TRUE no-reference branch: the uncond half never attends
         to reference tokens (per-sample ref_dropout in the batched program;
         ref_latent=None in the two-call program — the reference's
@@ -92,7 +97,7 @@ class EMOPipeline:
         if guidance_scale == 1.0:
             return self.model.predict_noise(
                 params, latents, t, ref_latent, audio_windows=audio, speeds=speeds,
-                face_mask=face_mask, control_cond=control_cond, context=context,
+                face_feat=face_mask, control_cond=control_cond, context=context,
                 identity_embed=identity_embed, ref_features=ref_features, ref_gn=ref_gn,
             )
         if context is not None and uncond_context is None:
@@ -114,7 +119,7 @@ class EMOPipeline:
                 cat(ref_latent, ref_latent),
                 audio_windows=None if audio is None else cat(jnp.zeros_like(audio), audio),
                 speeds=None if speeds is None else cat(speeds, speeds),
-                face_mask=None if face_mask is None else cat(face_mask, face_mask),
+                face_feat=None if face_mask is None else cat(face_mask, face_mask),
                 control_cond=None if control_cond is None else cat(control_cond, control_cond),
                 context=None if context is None else cat(uncond_context, context),
                 identity_embed=None if identity_embed is None
@@ -125,14 +130,14 @@ class EMOPipeline:
             )
             return cfg_combine(out[:b], out[b:], guidance_scale)
         cond = self.model.predict_noise(
-            params, latents, t, ref_latent, audio_windows=audio, speeds=speeds, face_mask=face_mask,
+            params, latents, t, ref_latent, audio_windows=audio, speeds=speeds, face_feat=face_mask,
             control_cond=control_cond, context=context, identity_embed=identity_embed,
             ref_features=ref_features, ref_gn=ref_gn,
         )
         uncond = self.model.predict_noise(
             params, latents, t, None,
             audio_windows=None if audio is None else jnp.zeros_like(audio),
-            speeds=speeds, face_mask=face_mask, control_cond=control_cond,
+            speeds=speeds, face_feat=face_mask, control_cond=control_cond,
             context=uncond_context,
             identity_embed=None if identity_embed is None else jnp.zeros_like(identity_embed),
         )
@@ -284,6 +289,10 @@ class EMOPipeline:
         g = icfg.guidance_scale if guidance_scale is None else guidance_scale
         key = key if key is not None else jax.random.PRNGKey(icfg.seed)
         ref_latent, audio = self._prepare(params, ref_image, wav, T)
+        if face_mask is not None and self.model.config.model.use_face_mask:
+            # the mask residual is per-clip static: encode ONCE here instead
+            # of re-running the conv stack inside every denoise step
+            face_mask = self.model.encode_face_mask(params, face_mask, ref_latent.shape[1])
         if T <= icfg.context_frames:
             return self._sample_short(
                 params, key, ref_latent, audio, speeds, face_mask, T, steps, g, lock_latents,

@@ -184,6 +184,22 @@ class EMOModel:
         feats = self.modules.audio_encoder.apply({"params": params["audio_encoder"]}, wav)
         return align_audio_to_frames(feats, num_frames, audio_feature_rate(cfg), cfg.video_fps, cfg.context_frames)
 
+    def encode_face_mask(self, params: Params, face_mask: jax.Array, latent_size: int) -> jax.Array:
+        """Pre-encode the face-region mask residual ONCE per clip
+        (it depends only on the static mask; reference Net.py:591-605
+        FaceRegionController re-ran per forward). Returns [B, h, w, C0] to
+        pass as predict_noise(face_feat=...) — exactly the per-step math."""
+        from emox.nn.conditioners import FaceMaskEncoder
+
+        cfg = self.config.model
+        ds = face_mask.shape[1] // latent_size
+        num_downs = max(0, ds.bit_length() - 1)
+        enc = FaceMaskEncoder(
+            cfg.block_channels[0], num_downs=num_downs,
+            dtype=self.modules.denoiser.dtype, param_dtype=self.modules.denoiser.param_dtype,
+        )
+        return enc.apply({"params": params["denoiser"]["face_mask_encoder"]}, face_mask)
+
     def locate_face(self, params: Params, images: jax.Array) -> jax.Array:
         return self.modules.face_locator.apply({"params": params["face_locator"]}, images)
 
@@ -224,6 +240,7 @@ class EMOModel:
         identity_embed: Optional[jax.Array] = None,  # [B, proj] CLIP image embedding
         ref_features: Optional[Any] = None,  # precomputed writer banks (see reference_outputs)
         ref_gn: Optional[Any] = None,
+        face_feat: Optional[jax.Array] = None,  # pre-encoded mask residual (encode_face_mask)
     ) -> jax.Array:
         """ref_latent=None skips ReferenceNet entirely (a true uncond program,
         cheaper than the per-sample ref_dropout mask); ref_dropout drops the
@@ -249,6 +266,7 @@ class EMOModel:
             audio=audio_windows,
             speeds=speeds,
             face_mask=face_mask,
+            face_feat=face_feat,
             control=control,
             ref_dropout=ref_dropout,
             identity_embed=identity_embed,

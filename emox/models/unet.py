@@ -97,6 +97,7 @@ class UNet(nn.Module):
         audio: Optional[jax.Array] = None,  # [B, T, A, audio_dim]
         speeds: Optional[jax.Array] = None,  # [B] or [B, T]
         face_mask: Optional[jax.Array] = None,  # [B, H, W, 1] pixel space
+        face_feat: Optional[jax.Array] = None,  # [B, h, w, C0] PRE-ENCODED mask residual
         control: Optional[Any] = None,  # ControlSignals (models/controlnet.py)
         ref_gn: Optional[List[jax.Array]] = None,  # per site [B,1,1,C,2] writer stats
         identity_embed: Optional[jax.Array] = None,  # [B, proj] CLIP image embedding
@@ -164,11 +165,17 @@ class UNet(nn.Module):
         # ---- conv_in + face mask residual -------------------------------
         h, _ = fold_time(x.astype(self.dtype))
         h = nn.Conv(chans[0], (3, 3), name="conv_in", **kw)(h)
-        if cfg.use_face_mask and face_mask is not None:
-            ds = face_mask.shape[1] // x.shape[2]
-            num_downs = max(0, ds.bit_length() - 1)
-            mf = FaceMaskEncoder(chans[0], num_downs=num_downs, name="face_mask_encoder", **kw)(face_mask)
-            h = h + jnp.repeat(mf, t, axis=0)
+        if cfg.use_face_mask and (face_mask is not None or face_feat is not None):
+            # the mask residual depends only on the (per-clip static) mask —
+            # samplers pre-encode it once (face_feat) instead of re-running
+            # the conv stack every denoise step; both paths are exactly the
+            # same math (EMOModel.encode_face_mask applies this submodule)
+            mf = face_feat
+            if mf is None:
+                ds = face_mask.shape[1] // x.shape[2]
+                num_downs = max(0, ds.bit_length() - 1)
+                mf = FaceMaskEncoder(chans[0], num_downs=num_downs, name="face_mask_encoder", **kw)(face_mask)
+            h = h + jnp.repeat(mf.astype(self.dtype), t, axis=0)
 
         banks: List[List[jax.Array]] = []
         gn_banks: List[jax.Array] = []

@@ -244,3 +244,26 @@ class TestEMOComposition:
         )
         without = model.predict_noise(params, vid, ts, ref)
         np.testing.assert_allclose(np.asarray(with_cond), np.asarray(without), atol=1e-5)
+
+
+def test_face_feat_precompute_exact():
+    """Pre-encoded face residual (EMOModel.encode_face_mask ->
+    predict_noise(face_feat=)) must equal the in-step mask encoder
+    EXACTLY (same submodule params, same math, computed once per clip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from emox.models.emo import EMOModel
+
+    cfg = tiny_config()
+    model = EMOModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+    lat_size = 32 // cfg.vae.downscale
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 2, lat_size, lat_size, 4))
+    t = jnp.array([77], jnp.int32)
+    ref = model.encode_images(params, jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3)) * 0.1)
+    mask = (jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 1)) > 0.5).astype(jnp.float32)
+    out_mask = model.predict_noise(params, lat, t, ref, face_mask=mask)
+    ff = model.encode_face_mask(params, mask, lat.shape[2])
+    out_feat = model.predict_noise(params, lat, t, ref, face_feat=ff)
+    np.testing.assert_array_equal(np.asarray(out_mask), np.asarray(out_feat))
