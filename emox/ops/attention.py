@@ -68,7 +68,7 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[floa
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale: float, lk: int, block_k: int,
+    *, scale: float, lk: int, block_k: int, masked: bool = True,
 ):
     """One (bh, q-block, kv-block) grid cell of the forward.
 
@@ -93,8 +93,9 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
-    s = jnp.where(col < lk, s, _NEG_INF)
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+        s = jnp.where(col < lk, s, _NEG_INF)
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -116,7 +117,7 @@ def _flash_kernel(
 
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc_ref,
-    *, scale: float, lk: int, block_k: int,
+    *, scale: float, lk: int, block_k: int, masked: bool = True,
 ):
     """dq grid cell (bh, q-block, kv-block): streams K/V, accumulates dq in
     VMEM scratch. Recomputes p = exp(s - lse) blockwise, then
@@ -140,8 +141,9 @@ def _flash_bwd_dq_kernel(
         q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
     p = jnp.exp(s - lse)
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
-    p = jnp.where(col < lk, p, 0.0)
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+        p = jnp.where(col < lk, p, 0.0)
     dp_ = jax.lax.dot_general(
         do, vblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
@@ -158,7 +160,7 @@ def _flash_bwd_dq_kernel(
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_acc_ref, dv_acc_ref,
-    *, scale: float, lk: int, block_q: int, block_k: int,
+    *, scale: float, lk: int, block_q: int, block_k: int, masked: bool = True,
 ):
     """dk/dv grid cell (bh, kv-block, q-block): streams Q/dO blocks with
     dk/dv accumulated in VMEM scratch.
@@ -177,10 +179,11 @@ def _flash_bwd_dkv_kernel(
 
     k = k_ref[0].astype(jnp.float32)  # (bk, Dp)
     v = v_ref[0].astype(jnp.float32)
-    kv_base = pl.program_id(1) * block_k
-    col_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_base
-    ) < lk
+    if masked:
+        kv_base = pl.program_id(1) * block_k
+        col_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_base
+        ) < lk
 
     qb = q_ref[0].astype(jnp.float32) * scale  # (bq, Dp)
     dob = do_ref[0].astype(jnp.float32)
@@ -189,7 +192,9 @@ def _flash_bwd_dkv_kernel(
     s = jax.lax.dot_general(
         qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    p = jnp.where(col_valid, jnp.exp(s - lse), 0.0)
+    p = jnp.exp(s - lse)
+    if masked:
+        p = jnp.where(col_valid, p, 0.0)
     dv_acc_ref[:] = dv_acc_ref[:] + jax.lax.dot_general(
         p, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bk, Dp)
@@ -252,7 +257,9 @@ def _flash_impl(
         pltpu.VMEM((block_q, _LANE), jnp.float32),
         pltpu.VMEM((block_q, _LANE), jnp.float32),
     ]
-    kernel = functools.partial(_flash_kernel, scale=scale, lk=lk, block_k=block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, lk=lk, block_k=block_k, masked=lk_pad != lk
+    )
     out, lse = pl.pallas_call(
         kernel,
         out_shape=(
@@ -333,7 +340,9 @@ def _flash_bwd_impl(
     num_qb = lq_pad // block_q
     num_kb = lk_pad // block_k
 
-    dq_kernel = functools.partial(_flash_bwd_dq_kernel, scale=scale, lk=lk, block_k=block_k)
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel, scale=scale, lk=lk, block_k=block_k, masked=lk_pad != lk
+    )
     dq = pl.pallas_call(
         dq_kernel,
         out_shape=jax.ShapeDtypeStruct((bh, lq_pad, dp), q.dtype),
@@ -357,7 +366,8 @@ def _flash_bwd_impl(
     )(qf, kf, vf, gf, lse_q, delta)
 
     dkv_kernel = functools.partial(
-        _flash_bwd_dkv_kernel, scale=scale, lk=lk, block_q=block_q, block_k=block_k
+        _flash_bwd_dkv_kernel, scale=scale, lk=lk, block_q=block_q, block_k=block_k,
+        masked=lk_pad != lk,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -398,14 +408,16 @@ def _flash_bwd_impl(
 
 def _flash_nlc_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale: float, lk: int, block_k: int, heads: int,
+    *, scale: float, lk: int, block_k: int, heads: int, masked: bool,
 ):
     """Packed-layout forward: one (n, q-block, kv-block) grid cell covers
     ALL heads. Blocks are full-C-width [block, H*D] (Mosaic requires the
     minor block dim to be 128-divisible or the whole array dim), and a
     static python loop runs the per-head online softmax on d-wide column
     strips. Per-head running max / sum live in columns h of the m/l
-    scratch."""
+    scratch. `masked=False` (lk divisible by block_k) statically elides
+    the kv-padding iota/compare/select on every tile — dead work for the
+    flagship's aligned lk=2048 ref-attn sites."""
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
 
@@ -420,13 +432,15 @@ def _flash_nlc_kernel(
     vblk = v_ref[0].astype(jnp.float32)
     block_q, c = q.shape
     d = c // heads
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         s = jax.lax.dot_general(
             q[:, sl], kblk[:, sl], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
-        s = jnp.where(col < lk, s, _NEG_INF)
+        if masked:
+            s = jnp.where(col < lk, s, _NEG_INF)
         m_prev = m_ref[:, h : h + 1]
         l_prev = l_ref[:, h : h + 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -450,7 +464,7 @@ def _flash_nlc_kernel(
 
 def _flash_bwd_nlc_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc_ref,
-    *, scale: float, lk: int, block_k: int, heads: int,
+    *, scale: float, lk: int, block_k: int, heads: int, masked: bool,
 ):
     """Packed dq: same recompute as _flash_bwd_dq_kernel, static head loop."""
     kb = pl.program_id(2)
@@ -466,7 +480,8 @@ def _flash_bwd_nlc_dq_kernel(
     vblk = v_ref[0].astype(jnp.float32)
     block_q, c = q.shape
     d = c // heads
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb * block_k
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         lse = lse_ref[0][:, h : h + 1]  # (bq, 1)
@@ -475,7 +490,8 @@ def _flash_bwd_nlc_dq_kernel(
             q[:, sl], kblk[:, sl], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         p = jnp.exp(s - lse)
-        p = jnp.where(col < lk, p, 0.0)
+        if masked:
+            p = jnp.where(col < lk, p, 0.0)
         dp_ = jax.lax.dot_general(
             do[:, sl], vblk[:, sl], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -492,7 +508,7 @@ def _flash_bwd_nlc_dq_kernel(
 def _flash_bwd_nlc_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_acc_ref, dv_acc_ref,
-    *, scale: float, lk: int, block_q: int, block_k: int, heads: int,
+    *, scale: float, lk: int, block_q: int, block_k: int, heads: int, masked: bool,
 ):
     """Packed dk/dv: static head loop over d-wide strips."""
     qb_i = pl.program_id(2)
@@ -509,10 +525,11 @@ def _flash_bwd_nlc_dkv_kernel(
     dob = do_ref[0].astype(jnp.float32)
     c = k.shape[1]
     d = c // heads
-    kv_base = pl.program_id(1) * block_k
-    col_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_base
-    ) < lk
+    if masked:
+        kv_base = pl.program_id(1) * block_k
+        col_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_base
+        ) < lk
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         lse = lse_ref[0][:, h : h + 1]  # (bq, 1)
@@ -520,7 +537,9 @@ def _flash_bwd_nlc_dkv_kernel(
         s = jax.lax.dot_general(
             qb[:, sl], k[:, sl], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
-        p = jnp.where(col_valid, jnp.exp(s - lse), 0.0)
+        p = jnp.exp(s - lse)
+        if masked:
+            p = jnp.where(col_valid, p, 0.0)
         dv_acc_ref[:, sl] = dv_acc_ref[:, sl] + jax.lax.dot_general(
             p, dob[:, sl], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -541,9 +560,27 @@ def _flash_bwd_nlc_dkv_kernel(
 
 def _nlc_blocks(lq: int, lk: int, c: int, bwd: bool):
     """Block sizes for the packed kernels: bound the VMEM working set
-    (double-buffered full-C K/V blocks dominate) at wide C."""
-    block_q = 256 if lq <= 1024 else 512
-    block_k = (1024 if not bwd else 512) if c <= 640 else (512 if not bwd else 256)
+    (double-buffered full-C K/V blocks dominate) at wide C.
+
+    EMOX_NLC_BLOCK_Q / EMOX_NLC_BLOCK_K override both directions — tuning
+    knobs for on-chip block sweeps (bench/sweep use only; defaults below are
+    the swept winners).
+
+    Forward block_q=512 even at lq=1024 when c<=320: halving the q-grid
+    halves K/V block refetches — flagship 256^2 bench 41.97 -> 41.13
+    ms/step on v5e (kernel microbenches had preferred 256; the end-to-end
+    step is the arbiter). The win is VMEM-gated: at c=640 (the 512^2
+    level-1 site, 10 heads) bq=512/bk=1024 needs a 23.1 MB scoped
+    allocation vs the 16 MB budget, so wide-C short-q keeps bq=256;
+    bq=1024 / bk=2048 blow the budget even at c=320 (21.2 MB)."""
+    env_q = int(os.environ.get("EMOX_NLC_BLOCK_Q", "0"))
+    env_k = int(os.environ.get("EMOX_NLC_BLOCK_K", "0"))
+    block_q = env_q or (
+        (256 if lq <= 1024 else 512)
+        if (bwd or (c > 320 and lq <= 1024))
+        else 512
+    )
+    block_k = env_k or ((1024 if not bwd else 512) if c <= 640 else (512 if not bwd else 256))
     block_q = min(block_q, _round_up(lq, 16))
     block_k = min(block_k, _round_up(lk, 16))
     return block_q, block_k
@@ -586,7 +623,8 @@ def _flash_impl_nlc(
         pltpu.VMEM((block_q, _LANE), jnp.float32),
     ]
     kernel = functools.partial(
-        _flash_nlc_kernel, scale=scale, lk=lk, block_k=block_k, heads=heads
+        _flash_nlc_kernel, scale=scale, lk=lk, block_k=block_k, heads=heads,
+        masked=lk_pad != lk,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -656,7 +694,8 @@ def _flash_bwd_impl_nlc(
     num_kb = lk_pad // block_k
 
     dq_kernel = functools.partial(
-        _flash_bwd_nlc_dq_kernel, scale=scale, lk=lk, block_k=block_k, heads=heads
+        _flash_bwd_nlc_dq_kernel, scale=scale, lk=lk, block_k=block_k, heads=heads,
+        masked=lk_pad != lk,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -681,7 +720,8 @@ def _flash_bwd_impl_nlc(
     )(qf, kf, vf, gf, lse_q, delta)
 
     dkv_kernel = functools.partial(
-        _flash_bwd_nlc_dkv_kernel, scale=scale, lk=lk, block_q=block_q, block_k=block_k, heads=heads
+        _flash_bwd_nlc_dkv_kernel, scale=scale, lk=lk, block_q=block_q, block_k=block_k,
+        heads=heads, masked=lk_pad != lk,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,

@@ -46,8 +46,13 @@ class TestFlashAttentionNLC:
         out = flash_attention_nlc(q, k, v, heads, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
-    def test_grad_matches_xla(self):
-        n, heads, lq, lk, d = 1, 2, 64, 200, 64
+    @pytest.mark.parametrize(
+        "lk",
+        [200,   # block-unaligned kv: masked kernels
+         64],   # block-aligned kv: statically mask-elided kernels
+    )
+    def test_grad_matches_xla(self, lk):
+        n, heads, lq, d = 1, 2, 64, 64
         c = heads * d
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
         q = jax.random.normal(k1, (n, lq, c), jnp.float32)
