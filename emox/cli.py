@@ -90,7 +90,7 @@ def cmd_precompute(args) -> int:
 
     man = precompute_dataset(
         args.metadata, args.videos, args.cache, width=args.width, height=args.height, fps=args.fps,
-        face_helper=face_helper,
+        face_helper=face_helper, with_control=not args.skip_control,
     )
     with open(man) as f:
         n = len(json.load(f))
@@ -223,7 +223,9 @@ def cmd_infer(args) -> int:
         frames = pipe.generate_long(
             params, jnp.asarray(ref[None]), jnp.asarray(wav[None]), total_frames=total,
             segment_length=cfg.inference.context_frames,
-            speeds=speeds, prompt=args.prompt, negative_prompt=args.negative_prompt,
+            num_inference_steps=args.steps, guidance_scale=args.guidance,
+            speeds=speeds, face_mask=face_mask,
+            prompt=args.prompt, negative_prompt=args.negative_prompt,
             tokenizer=tokenizer, use_identity=args.identity,
         )
     else:
@@ -343,14 +345,20 @@ def _parse_speeds(spec, total_frames: int, speed_axes: int):
             arr = arr[:, None] if speed_axes > 1 else arr
     else:
         vals = np.asarray([float(v) for v in spec.split(",")], np.float32)
+        if len(vals) != speed_axes:
+            raise SystemExit(
+                f"--speeds got {len(vals)} comma-separated values but the model "
+                f"has speed_axes={speed_axes}; pass exactly one value per axis"
+            )
         arr = np.tile(vals[None], (total_frames, 1)) if speed_axes > 1 else np.full(
             (total_frames,), vals[0], np.float32)
     # pad/trim to the clip length
     if arr.shape[0] < total_frames:
         arr = np.concatenate([arr, np.repeat(arr[-1:], total_frames - arr.shape[0], axis=0)])
     arr = arr[:total_frames]
-    if speed_axes > 1 and (arr.ndim != 2 or arr.shape[1] != speed_axes):
-        raise SystemExit(f"--speeds needs {speed_axes} axes, got shape {arr.shape}")
+    expected_ndim = 2 if speed_axes > 1 else 1
+    if arr.ndim != expected_ndim or (speed_axes > 1 and arr.shape[1] != speed_axes):
+        raise SystemExit(f"--speeds needs {speed_axes} axis values per frame, got shape {arr.shape}")
     return jnp.asarray(arr[None])
 
 
@@ -412,6 +420,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--face-ckpt", default=None,
                     help="stage-0 checkpoint dir: trained FaceLocator+landmarks as mask/pose provider")
     pp.add_argument("--config", default=None, help="YAML config for --face-ckpt model shape")
+    pp.add_argument("--skip-control", action="store_true",
+                    help="skip the stage-4 landmark-skeleton control renders (saves cache space when ControlNet training is not planned)")
     pp.set_defaults(fn=cmd_precompute)
 
     pk = sub.add_parser(

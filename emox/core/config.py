@@ -368,8 +368,27 @@ class Config:
         return dataclasses.replace(self, **sections)
 
 
+# Fields that existed in earlier released configs but were since removed.
+# Saved checkpoint-dir YAMLs (save_config dumps every field) must stay
+# loadable: these are dropped with a warning instead of rejected, while
+# true typos still raise.
+_REMOVED_FIELDS = {
+    "DataConfig": {"data_dir", "shuffle"},
+    "ModelConfig": {"face_mask_channels"},
+}
+
+
 def _build(cls, d: Dict[str, Any]):
     names = {f.name for f in dataclasses.fields(cls)}
+    removed = (set(d) - names) & _REMOVED_FIELDS.get(cls.__name__, set())
+    if removed:
+        import warnings
+
+        warnings.warn(
+            f"{cls.__name__}: ignoring removed config fields {sorted(removed)} "
+            "(present in a YAML saved by an older version)"
+        )
+        d = {k: v for k, v in d.items() if k not in removed}
     unknown = set(d) - names
     if unknown:
         raise ValueError(f"unknown {cls.__name__} fields: {sorted(unknown)}")

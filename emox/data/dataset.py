@@ -194,6 +194,9 @@ class EMODataset:
         frames = self._get(cid, path, "frames", fetch)
         masks = self._get(cid, path, "face_masks", mask_rows) if mask_rows else None
         control = self._get(cid, path, "control", idx) if has_control else None
+        if control is not None and control.dtype == np.uint8:
+            # precompute stores renders uint8 (4x smaller); train in [0, 1]
+            control = control.astype(np.float32) / 255.0
         if control is not None:
             # cached pose renders go through the SAME AugmentParams geometry
             # as the frames they condition — colour untouched, no threshold
@@ -208,8 +211,14 @@ class EMODataset:
             # dense per-frame conditioning renders; the cache may ship real
             # pose renders under "control" (precompute writes a landmark
             # skeleton render), else face masks act as the conditioning
-            # signal (reference controlnet cond image role)
-            item["control"] = control if control is not None else masks
+            # signal (reference controlnet cond image role). The mask
+            # fallback is tiled to the render's 3 channels so (a) batches
+            # mixing annotated and bare clips stack, and (b) the ControlNet
+            # cond-embedding conv (control_cond_channels=3) sees one shape
+            # regardless of which source a cache provides.
+            if control is None:
+                control = np.repeat(masks, 3, axis=-1)
+            item["control"] = control
             return item
         item["wav"] = self._wav_slice(self._get(cid, path, "wav"), start)
         if self.stage == "stage3":

@@ -11,12 +11,17 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Optional
 
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+# DataLoader workers race to the first native call; without the lock two
+# threads could both run `make` and CDLL a half-linked .so, latching the
+# process onto the numpy fallback
+_LOAD_LOCK = threading.Lock()
 
 
 def _try_build(path: str) -> None:
@@ -47,6 +52,14 @@ def _try_build(path: str) -> None:
 def _lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
+        return _LIB
+    with _LOAD_LOCK:
+        return _lib_locked()
+
+
+def _lib_locked() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:  # raced: another thread finished while we waited
         return _LIB
     _TRIED = True
     path = os.environ.get(

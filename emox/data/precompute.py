@@ -109,6 +109,7 @@ def precompute_clip(
     face_helper: Optional[FaceHelper] = None,
     max_frames: Optional[int] = None,
     clip_meta: Optional[Dict] = None,  # CelebV-HQ entry: bbox / duration
+    with_control: bool = True,  # write stage-4 landmark-skeleton renders
 ) -> Dict[str, np.ndarray]:
     """One clip -> {frames, face_masks, wav, pose_speeds, pose_vel3
     (+landmarks when available)} npz.
@@ -205,14 +206,18 @@ def precompute_clip(
     }
     if landmarks is not None:
         out["landmarks"] = np.asarray(landmarks, np.float32)[: len(frames)]
-        # dense ControlNet conditioning: landmark-skeleton pose renders
-        # (the signal class the reference's controlnet conditions on,
-        # reference magicanimate/models/controlnet.py:49-91) — stage 4
-        # trains on these instead of the face-mask fallback
-        from emox.data.face import render_landmark_skeleton
+        if with_control:
+            # dense ControlNet conditioning: landmark-skeleton pose renders
+            # (the signal class the reference's controlnet conditions on,
+            # reference magicanimate/models/controlnet.py:49-91) — stage 4
+            # trains on these instead of the face-mask fallback. Stored
+            # uint8: 4x smaller than float32 at [T, H, W, 3] full res;
+            # the dataset rescales to [0, 1] float at fetch time.
+            from emox.data.face import render_landmark_skeleton
 
-        h_, w_ = frames.shape[1:3]
-        out["control"] = render_landmark_skeleton(out["landmarks"], h_, w_)
+            h_, w_ = frames.shape[1:3]
+            render = render_landmark_skeleton(out["landmarks"], h_, w_)
+            out["control"] = (render * 255.0 + 0.5).astype(np.uint8)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.savez_compressed(out_path, **out)
     return out
@@ -226,6 +231,7 @@ def precompute_dataset(
     height: int = 256,
     fps: float = 25.0,
     face_helper: Optional[FaceHelper] = None,
+    with_control: bool = True,
 ) -> str:
     """CelebV-HQ-style metadata {clips: {id: ...}} -> cache of npz files +
     cache manifest (reference ExtractFrames.py:22-85 + EMODataset wiring)."""
@@ -254,6 +260,7 @@ def precompute_dataset(
         clip = precompute_clip(
             src, out_path, width, height, fps, face_helper=face_helper,
             clip_meta=centry if isinstance(centry, dict) else None,
+            with_control=with_control,
         )
         manifest[cid] = {"frames": int(clip["frames"].shape[0]), "path": out_path}
     man_path = os.path.join(cache_dir, "manifest.json")

@@ -331,7 +331,17 @@ class EMOPipeline:
     def encode_identity(self, params: Params, ref_image: jax.Array) -> jax.Array:
         """Reference image [B, H, W, 3] in [-1, 1] -> CLIP identity embedding
         [B, proj] (reference EMOAnimationPipeline.py:867 image_enc). Resizes
-        to the CLIP input size and renormalises on device."""
+        to the CLIP input size and renormalises on device.
+
+        Raises when model.use_identity_embed is off: the UNet would silently
+        drop the embedding (its injection gate checks the config), so
+        computing one can only mislead the caller."""
+        if not self.config.model.use_identity_embed:
+            raise ValueError(
+                "identity embedding requested but model.use_identity_embed is False — "
+                "the UNet would ignore it; enable model.use_identity_embed (and "
+                "clip.vision_enabled) in the config"
+            )
         from emox.models.clip import clip_normalize
 
         fn = getattr(self, "_jit_encode_identity", None)
@@ -438,6 +448,7 @@ class EMOPipeline:
         guidance_scale: Optional[float] = None,
         key: Optional[jax.Array] = None,
         speeds: Optional[jax.Array] = None,  # [B, total_frames(, A)] per-frame velocities
+        face_mask: Optional[jax.Array] = None,  # [B, H, W, 1] static face region
         prompt: Optional[str] = None,
         negative_prompt: str = "",
         tokenizer=None,
@@ -464,20 +475,22 @@ class EMOPipeline:
 
         def seg_call(seg_frames, wav_seg, sub, lock, num_locked, seg_speeds):
             ck = ("long_seg", seg_frames, int(wav_seg.shape[1]), steps, g, lock is not None,
-                  num_locked, seg_speeds is not None, context is not None, identity_embed is not None)
+                  num_locked, seg_speeds is not None, context is not None,
+                  identity_embed is not None, face_mask is not None)
             if ck not in self._jitted:
                 def run(params, ref_image, wav_seg, k, lock, seg_speeds, context, uncond_context,
-                        identity_embed):
+                        identity_embed, face_mask):
                     return self.generate_latents(
                         params, ref_image, wav_seg, video_length=seg_frames,
                         num_inference_steps=steps, guidance_scale=g, key=k,
-                        speeds=seg_speeds, lock_latents=lock, num_locked=num_locked,
+                        speeds=seg_speeds, face_mask=face_mask,
+                        lock_latents=lock, num_locked=num_locked,
                         context=context, uncond_context=uncond_context,
                         identity_embed=identity_embed,
                     )
                 self._jitted[ck] = jax.jit(run)
             return self._jitted[ck](params, ref_image, wav_seg, sub, lock, seg_speeds,
-                                    context, uncond_context, identity_embed)
+                                    context, uncond_context, identity_embed, face_mask)
 
         segs = []
         produced = 0

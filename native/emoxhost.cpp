@@ -117,9 +117,14 @@ void eh_augment_frame_f32(const float* src, int sh, int sw, int c,
                           int y0, int x0, int ch, int cw, int flip,
                           float brightness, float contrast,
                           float* dst, int dh, int dw) {
-  // clamp the crop against the source extent (also consumes sh, which is
-  // otherwise only part of the layout contract)
-  if (y0 + ch > sh || x0 + cw > sw) return;
+  // Clamp the crop against the source extent instead of bailing: an early
+  // return would hand the caller's uninitialized dst buffer back as a
+  // "valid" frame (the numpy fallback clamps via slicing, and the two
+  // paths must stay bit-compatible in behavior class).
+  y0 = std::max(0, std::min(y0, sh - 1));
+  x0 = std::max(0, std::min(x0, sw - 1));
+  ch = std::max(1, std::min(ch, sh - y0));
+  cw = std::max(1, std::min(cw, sw - x0));
   // crop mean (for contrast pivot), single pass, all channels
   double mean = 0.0;
   if (contrast != 1.0f) {

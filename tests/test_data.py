@@ -467,6 +467,33 @@ def test_precompute_writes_control_render(tmp_path):
     assert ((vals > 0.01) & (vals < 0.99)).any()
 
 
+def test_stage4_mixed_control_sources_batch(tmp_path):
+    """A cache mixing clips WITH precomputed 'control' renders and clips
+    WITHOUT (mask fallback) must still batch for stage 4: the fallback is
+    tiled to the render's 3 channels so np.stack sees one shape and the
+    ControlNet cond conv sees control_cond_channels=3 either way."""
+    import numpy as np
+
+    from emox.data.dataset import DataLoader, EMODataset
+    from emox.data.fixtures import make_synthetic_clip
+    from emox.data.precompute import precompute_clip
+
+    clip = make_synthetic_clip(seed=5, num_frames=4, height=32, width=32)
+    src = tmp_path / "src.npz"
+    np.savez(src, **clip)
+    cache = tmp_path / "cache"
+    precompute_clip(str(src), str(cache / "with_control.npz"), width=32, height=32)
+    precompute_clip(str(src), str(cache / "no_control.npz"), width=32, height=32,
+                    with_control=False)
+
+    ds = EMODataset(str(cache), "stage4-control", num_frames=2)
+    dl = DataLoader(ds, batch_size=8, seed=0, prefetch=0)
+    batch = next(iter(dl))
+    assert batch["control"].shape == (8, 2, 32, 32, 3)
+    assert batch["control"].dtype == np.float32
+    assert batch["control"].min() >= 0.0 and batch["control"].max() <= 1.0
+
+
 def test_stage0_mixed_annotation_batch(tmp_path):
     """Batches over caches mixing annotated and bare clips must keep the
     landmarks key with a per-item validity flag (ADVICE r2)."""
