@@ -21,13 +21,13 @@ a host scalar fetch (block_until_ready returns early through the tunnel).
 Secondary driver-visible metrics land in extra: 512^2 denoise steps/s and
 the warm 48-frame long-clip time — each attempted only while the elapsed
 wall-clock budget allows (a cold compile cache can cost minutes per
-program; EMOX_BENCH_BUDGET seconds, default 900).
+program; EMOX_BENCH_BUDGET seconds, default 1500).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Env knobs: EMOX_BENCH_PRESET=flagship|flagship512|small|tiny (default
 flagship), EMOX_BENCH_ITERS (default 20; the measured loop runs 3n total),
-EMOX_BENCH_BUDGET (seconds, default 900), EMOX_BENCH_NO_EXTRAS=1.
+EMOX_BENCH_BUDGET (seconds, default 1500), EMOX_BENCH_NO_EXTRAS=1.
 """
 
 from __future__ import annotations
@@ -138,13 +138,28 @@ def main() -> None:
 
     preset = os.environ.get("EMOX_BENCH_PRESET", "flagship")
     iters = int(os.environ.get("EMOX_BENCH_ITERS", "20"))
-    budget_s = float(os.environ.get("EMOX_BENCH_BUDGET", "900"))
+    # default sized so a fully warm-cache run (headline ~6-8 min of mostly
+    # param-init + cache deserialization through the axon tunnel) still has
+    # room for both extras; a cold cache degrades to skipped extras, never
+    # a stalled run
+    budget_s = float(os.environ.get("EMOX_BENCH_BUDGET", "1500"))
     num_frames = 16
     sizes = {"flagship": 256, "flagship512": 512, "small": 128, "tiny": 32}
     image_size = sizes[preset]
 
-    cfg, model, params = _build(preset, image_size, num_frames)
-    args = _step_args(cfg, model, params, image_size, num_frames)
+    try:
+        cfg, model, params = _build(preset, image_size, num_frames)
+        args = _step_args(cfg, model, params, image_size, num_frames)
+    except Exception:
+        # Backend-init failures ("Unable to initialize backend 'axon':
+        # UNAVAILABLE") are cached for the life of the process — only a
+        # fresh process can recover once the tunnel blips. Re-exec exactly
+        # once; a genuinely down tunnel still fails fast the second time.
+        if os.environ.get("EMOX_BENCH_REEXEC"):
+            raise
+        os.environ["EMOX_BENCH_REEXEC"] = "1"
+        time.sleep(30)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     try:
         step_ms, naive_ms = _measure_step_ms(model, args, iters)
     except Exception:
