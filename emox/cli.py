@@ -306,6 +306,96 @@ def cmd_train_face(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Quality metrics on a generated clip (the evaluation surface the
+    reference lacks entirely — SURVEY.md section 6: no FID/FVD/SyncNet or
+    timing code anywhere in the reference tree)."""
+    import numpy as np
+
+    from emox.eval import evaluate_clip, identity_similarity
+
+    gen = _load_frames(args.gen)
+    gt = masks = wav = None
+    fps, sr = args.fps, 16000
+    if args.gt:
+        if args.gt.endswith((".npz", ".npy")):
+            with np.load(args.gt) as z:
+                gt = np.asarray(z["frames"])
+                if gt.dtype == np.uint8:
+                    gt = gt.astype(np.float32) / 127.5 - 1.0
+                masks = np.asarray(z["face_masks"]) if "face_masks" in z else None
+                wav = np.asarray(z["wav"]) if "wav" in z else None
+                fps = float(z["fps"]) if "fps" in z else fps
+        else:
+            gt = _load_frames(args.gt)
+    if args.audio:
+        wav, sr = _load_audio(args.audio, sr)
+    if gt is not None:
+        t = min(len(gen), len(gt))
+        gen, gt = gen[:t], gt[:t]
+        masks = masks[:t] if masks is not None else None
+        if gen.shape[1:3] != gt.shape[1:3]:
+            from emox.data.native import resize_bilinear
+
+            h, w = gt.shape[1:3]
+            gen = np.stack([resize_bilinear(np.ascontiguousarray(f, np.float32), h, w) for f in gen])
+    metrics = evaluate_clip(gen, gt=gt, masks=masks, wav=wav, fps=fps, sample_rate=sr)
+
+    if args.ref_image and args.params:
+        # CLIP-vision identity drift (reference EMOAnimationPipeline.py:867
+        # loads a CLIP image encoder for exactly this identity role)
+        import jax.numpy as jnp
+
+        from emox.models.clip import clip_normalize
+        from emox.models.emo import EMOModel
+        from emox.train.trainer import Checkpointer
+
+        cfg = _load_config(args)
+        if cfg.clip.vision_enabled:
+            model = EMOModel(cfg)
+            params = Checkpointer(args.params).restore_params(use_ema=args.ema)
+            if params is not None and "clip_vision" in params:
+                from emox.data.native import resize_bilinear
+
+                s = cfg.clip.image_size
+                ref = _load_image(args.ref_image, s, s)
+                small = np.stack([resize_bilinear(np.ascontiguousarray(f, np.float32), s, s) for f in gen])
+                emb = model.encode_image_embedding(params, clip_normalize(jnp.asarray((small + 1.0) / 2.0)))
+                ref_emb = model.encode_image_embedding(params, clip_normalize(jnp.asarray((ref[None] + 1.0) / 2.0)))
+                metrics["identity_similarity"] = float(identity_similarity(emb, ref_emb[0]))
+            else:
+                print("NOTE: checkpoint has no clip_vision params; skipping identity metric")
+        else:
+            print("NOTE: clip.vision_enabled is False in this config; skipping identity metric")
+
+    line = json.dumps({k: round(v, 6) for k, v in metrics.items()})
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
+def _load_frames(path: str):
+    """mp4/npz/npy -> [T, H, W, 3] float32 in [-1, 1]."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            fr = np.asarray(z["frames"])
+    elif path.endswith(".npy"):
+        fr = np.load(path)
+    else:
+        from emox.infer.video_io import VideoReader
+
+        r = VideoReader(path)
+        fr = np.stack(list(r))
+        r.close()
+    if fr.dtype == np.uint8:
+        fr = fr.astype(np.float32) / 127.5 - 1.0
+    return fr[..., :3].astype(np.float32)
+
+
 def cmd_bench(args) -> int:
     os.environ["EMOX_BENCH_PRESET"] = args.preset
     if args.iters:
@@ -498,6 +588,19 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--seed", type=int, default=0)
     pf.add_argument("--out", default=None, help="default: emox/assets/face_nets.npz")
     pf.set_defaults(fn=cmd_train_face)
+
+    pe = sub.add_parser("eval", help="quality metrics on a generated clip (PSNR/SSIM/flicker/sync/identity)")
+    pe.add_argument("--gen", required=True, help="generated video (.mp4/.npz/.npy)")
+    pe.add_argument("--gt", help="ground-truth clip (.npz cache with frames/face_masks/wav, or video)")
+    pe.add_argument("--audio", help="driving audio (.wav/.npy); overrides the gt cache's wav")
+    pe.add_argument("--ref-image", help="reference image for the CLIP identity metric")
+    pe.add_argument("--params", help="checkpoint dir with clip_vision params (identity metric)")
+    pe.add_argument("--config", help="config YAML (identity metric)")
+    pe.add_argument("--ema", action="store_true", help="use EMA shadow weights for the identity encoder")
+    pe.add_argument("--fps", type=float, default=25.0)
+    pe.add_argument("--out", help="also write the metrics JSON to this file")
+    pe.add_argument("--set", action="append", default=[], metavar="SEC.KEY=VAL")
+    pe.set_defaults(fn=cmd_eval, stage=None)
 
     pb = sub.add_parser("bench", help="denoise-step throughput benchmark")
     pb.add_argument("--preset", default="tiny", choices=("tiny", "small", "flagship", "flagship512"))

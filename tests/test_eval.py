@@ -1,0 +1,139 @@
+"""Quality-metric tests (emox.eval).
+
+The reference has no evaluation surface to mirror (SURVEY.md section 6);
+these tests pin the metric definitions instead: known-value identities,
+monotonicity under degradation, and — via the audio-correlated synthetic
+fixtures (emox/data/fixtures.py builds mouth motion from the waveform
+envelope, the correlation reference junk/AudioAttention/train.py:82-151
+trains on) — that the sync proxy actually discriminates matched from
+mismatched audio."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emox.data.fixtures import make_synthetic_clip
+from emox.eval import (
+    audio_sync_score,
+    evaluate_clip,
+    frame_audio_envelope,
+    identity_similarity,
+    pearson,
+    psnr,
+    ssim,
+    temporal_flicker,
+)
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return make_synthetic_clip(seed=0, num_frames=24, height=64, width=64)
+
+
+class TestFidelity:
+    def test_psnr_identical_capped(self):
+        a = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 3)).astype(np.float32))
+        assert float(psnr(a, a)) == pytest.approx(100.0)
+
+    def test_psnr_monotonic_in_noise(self):
+        rng = np.random.default_rng(1)
+        a = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+        lo = a + rng.normal(0, 0.01, a.shape).astype(np.float32)
+        hi = a + rng.normal(0, 0.2, a.shape).astype(np.float32)
+        assert float(psnr(jnp.asarray(lo), jnp.asarray(a))) > float(psnr(jnp.asarray(hi), jnp.asarray(a)))
+
+    def test_ssim_identity_and_range(self):
+        rng = np.random.default_rng(2)
+        a = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+        assert float(ssim(jnp.asarray(a), jnp.asarray(a))) == pytest.approx(1.0, abs=1e-5)
+        b = rng.uniform(-1, 1, a.shape).astype(np.float32)
+        s = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert -1.0 <= s < 0.5  # unrelated noise: structurally dissimilar
+
+    def test_ssim_beats_psnr_on_structure(self):
+        """Constant luminance shift: PSNR drops hard, SSIM stays high —
+        the classic property separating the two metrics."""
+        rng = np.random.default_rng(3)
+        a = rng.uniform(-0.5, 0.5, (1, 32, 32, 3)).astype(np.float32)
+        shifted = a + 0.2
+        noisy = a + rng.normal(0, 0.2, a.shape).astype(np.float32)
+        assert float(ssim(jnp.asarray(shifted), jnp.asarray(a))) > float(
+            ssim(jnp.asarray(noisy), jnp.asarray(a))
+        )
+
+    def test_flicker_zero_for_identical_motion(self, clip):
+        g = jnp.asarray(clip["frames"])
+        assert float(temporal_flicker(g, g)) == 0.0
+        # static video vs moving gt: all of gt's motion becomes mismatch
+        frozen = jnp.broadcast_to(g[:1], g.shape)
+        assert float(temporal_flicker(frozen, g)) > 0.0
+
+
+class TestSync:
+    def test_envelope_shape_and_norm(self, clip):
+        env = frame_audio_envelope(jnp.asarray(clip["wav"]), 24, 640)
+        assert env.shape == (24,)
+        assert float(jnp.max(env)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_sync_discriminates_matched_audio(self, clip):
+        other = make_synthetic_clip(seed=1, num_frames=24, height=64, width=64)
+        g = jnp.asarray(clip["frames"])
+        m = jnp.asarray(clip["face_masks"])
+        matched = float(audio_sync_score(g, m, jnp.asarray(clip["wav"])))
+        mismatched = float(audio_sync_score(g, m, jnp.asarray(other["wav"])))
+        assert matched > 0.8  # mouth is driven by this envelope by construction
+        assert matched > mismatched + 0.3
+
+    def test_pearson_constant_series_is_zero(self):
+        assert float(pearson(jnp.ones(8), jnp.arange(8.0))) == 0.0
+
+
+class TestIdentity:
+    def test_cosine_bounds(self):
+        rng = np.random.default_rng(4)
+        e = rng.normal(size=(6, 32)).astype(np.float32)
+        assert float(identity_similarity(jnp.asarray(e), jnp.asarray(e[0]))) <= 1.0 + 1e-6
+        same = np.broadcast_to(e[0], e.shape)
+        assert float(identity_similarity(jnp.asarray(same), jnp.asarray(e[0]))) == pytest.approx(1.0, abs=1e-5)
+        assert float(identity_similarity(jnp.asarray(-same), jnp.asarray(e[0]))) == pytest.approx(-1.0, abs=1e-5)
+
+
+class TestEvaluateClip:
+    def test_keys_follow_inputs(self, clip):
+        g = clip["frames"]
+        out = evaluate_clip(g + 0.01, gt=g)
+        assert set(out) == {"psnr_db", "ssim", "temporal_flicker"}
+        out = evaluate_clip(g, gt=g, masks=clip["face_masks"], wav=clip["wav"])
+        assert {"audio_sync", "gt_audio_sync"} <= set(out)
+        assert all(isinstance(v, float) for v in out.values())
+
+    def test_shape_mismatch_raises(self, clip):
+        with pytest.raises(ValueError):
+            evaluate_clip(clip["frames"][:, :32], gt=clip["frames"])
+
+
+class TestCLI:
+    def test_eval_command_end_to_end(self, tmp_path, clip):
+        from emox.cli import main
+
+        gt_path = os.path.join(tmp_path, "gt.npz")
+        np.savez_compressed(
+            gt_path, frames=clip["frames"], face_masks=clip["face_masks"],
+            wav=clip["wav"], fps=25.0,
+        )
+        gen = np.clip(
+            clip["frames"] + np.random.default_rng(0).normal(0, 0.05, clip["frames"].shape), -1, 1
+        ).astype(np.float32)
+        gen_path = os.path.join(tmp_path, "gen.npz")
+        np.savez_compressed(gen_path, frames=gen)
+        out_path = os.path.join(tmp_path, "metrics.json")
+        rc = main(["eval", "--gen", gen_path, "--gt", gt_path, "--out", out_path])
+        assert rc == 0
+        with open(out_path) as f:
+            m = json.load(f)
+        assert m["psnr_db"] > 20.0
+        assert m["ssim"] > 0.5
+        assert m["audio_sync"] > 0.8
