@@ -104,6 +104,18 @@ def main() -> int:
     target = clip["frames"][: args.frames]
     mse = float(np.mean((np.asarray(frames[0]) - target) ** 2))
     print(f"wrote {out}; pixel MSE vs source clip: {mse:.4f}")
+
+    # close the loop with the quality-eval subsystem: fidelity + temporal
+    # stability vs the source clip, audio-sync proxy of both (gt_audio_sync
+    # is the achievable anchor; sync needs more than a handful of frames to
+    # be meaningful — see emox.eval.audio_sync_score)
+    from emox.eval import evaluate_clip
+
+    metrics = evaluate_clip(
+        np.asarray(frames[0]), gt=target,
+        masks=clip["face_masks"][: args.frames], wav=clip["wav"],
+    )
+    print("eval:", {k: round(v, 4) for k, v in metrics.items()})
     return 0
 
 
