@@ -93,8 +93,32 @@ def cmd_precompute(args) -> int:
         face_helper=face_helper, with_control=not args.skip_control,
     )
     with open(man) as f:
-        n = len(json.load(f))
-    print(f"precomputed {n} clips -> {args.cache}")
+        manifest = json.load(f)
+    if getattr(args, "debug_overlays", False):
+        # head-pose axis overlays per clip, the reference's *_debug.jpg
+        # dataset-prep artifact (reference Net.py:1077-1087 draw_axis)
+        import numpy as np
+
+        from emox.data.face import pose_debug_overlay
+        from emox.infer.video_io import frames_to_uint8
+
+        for cid, entry in manifest.items():
+            with np.load(entry["path"]) as z:
+                if "landmarks" not in z:
+                    continue
+                ov = pose_debug_overlay(z["frames"], z["landmarks"])
+            if ov is None:
+                continue
+            dbg = os.path.join(args.cache, f"{cid}_debug.png")
+            try:
+                import imageio.v3 as iio
+
+                iio.imwrite(dbg, frames_to_uint8(ov))
+            except Exception:
+                dbg = os.path.join(args.cache, f"{cid}_debug.npy")
+                np.save(dbg, ov)
+            print(f"pose debug overlay: {dbg}")
+    print(f"precomputed {len(manifest)} clips -> {args.cache}")
     return 0
 
 
@@ -512,6 +536,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--config", default=None, help="YAML config for --face-ckpt model shape")
     pp.add_argument("--skip-control", action="store_true",
                     help="skip the stage-4 landmark-skeleton control renders (saves cache space when ControlNet training is not planned)")
+    pp.add_argument("--debug-overlays", action="store_true",
+                    help="write a head-pose axis overlay image per clip (the reference's *_debug.jpg prep artifact)")
     pp.set_defaults(fn=cmd_precompute)
 
     pk = sub.add_parser(

@@ -96,6 +96,67 @@ def pose_velocities_3d(poses: np.ndarray, fps: float = 25.0, normalize: float = 
     return np.clip(v, -1.0, 1.0)
 
 
+def _draw_line(img: np.ndarray, p0, p1, color, thickness: int = 1) -> None:
+    """Dense-sampled line into [H, W, 3] float frame, in place."""
+    h, w = img.shape[:2]
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    n = int(np.ceil(2.0 * np.abs(p1 - p0).max())) + 1
+    pts = np.round(np.linspace(p0, p1, n)).astype(np.int64)
+    for dy in range(-thickness + 1, thickness):
+        for dx in range(-thickness + 1, thickness):
+            ys = np.clip(pts[:, 0] + dy, 0, h - 1)
+            xs = np.clip(pts[:, 1] + dx, 0, w - 1)
+            img[ys, xs] = color
+
+
+def draw_pose_axes(
+    frame: np.ndarray, pose_deg: np.ndarray, anchor_yx: np.ndarray, length: float = 0.25
+) -> np.ndarray:
+    """Head-pose axis debug overlay (reference Net.py:1077-1087 draw_axis,
+    which writes *_debug.jpg overlays during dataset prep).
+
+    frame [H, W, 3] in [-1, 1]; pose_deg (pitch, yaw, roll) degrees;
+    anchor_yx normalised (y, x) anchor (nose tip). Projects the canonical
+    X (red, right) / Y (green, down) / Z (blue, toward camera) axes into
+    the image plane with the classic in-plane formula and returns a copy
+    with the overlay drawn. Pure numpy — debug/offline only."""
+    h, w = frame.shape[:2]
+    pitch, yaw, roll = np.radians(np.asarray(pose_deg, np.float64))
+    ln = length * min(h, w)
+    cy, cx = float(anchor_yx[0]) * h, float(anchor_yx[1]) * w
+    dx1 = ln * (np.cos(yaw) * np.cos(roll))
+    dy1 = ln * (np.cos(pitch) * np.sin(roll) + np.cos(roll) * np.sin(pitch) * np.sin(yaw))
+    dx2 = ln * (-np.cos(yaw) * np.sin(roll))
+    dy2 = ln * (np.cos(pitch) * np.cos(roll) - np.sin(pitch) * np.sin(yaw) * np.sin(roll))
+    dx3 = ln * np.sin(yaw)
+    dy3 = ln * (-np.cos(yaw) * np.sin(pitch))
+    out = np.asarray(frame, np.float32).copy()
+    for (dy, dx), color in (
+        ((dy1, dx1), (1.0, -1.0, -1.0)),   # X: red
+        ((dy2, dx2), (-1.0, 1.0, -1.0)),   # Y: green
+        ((dy3, dx3), (-1.0, -1.0, 1.0)),   # Z: blue
+    ):
+        _draw_line(out, (cy, cx), (cy + dy, cx + dx), color)
+    return out
+
+
+def pose_debug_overlay(
+    frames: np.ndarray, landmarks_norm: np.ndarray, frame_index: int = 0
+) -> Optional[np.ndarray]:
+    """Cache-ready debug render: re-derive the head pose from the stored
+    normalised (y, x) landmarks and overlay the axes on one frame.
+    Returns None when pose recovery is unavailable (no cv2)."""
+    fr = np.asarray(frames[frame_index])
+    lm = np.asarray(landmarks_norm[frame_index], np.float32)
+    h, w = fr.shape[:2]
+    px = np.stack([lm[:, 1] * w, lm[:, 0] * h], axis=-1)  # norm (y,x) -> pixel (x,y)
+    pose = head_pose_from_landmarks(px, h, w)
+    if pose is None:
+        return None
+    return draw_pose_axes(fr, pose, lm[0])  # anchor at the nose tip
+
+
 def mask_from_bbox(height: int, width: int, bbox: Tuple[int, int, int, int], pad_ratio: float = 0.1) -> np.ndarray:
     """Padded bbox -> binary [H, W, 1] mask (reference Net.py:881-926
     generate_face_region_mask semantics)."""

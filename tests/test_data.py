@@ -62,6 +62,28 @@ class TestFace:
         assert v[0] == 0 and v[1] == 0
         assert v[2] > 0 and v[3] == 0
 
+    def test_pose_debug_overlay(self):
+        """Axis overlay (reference Net.py:1077-1087 draw_axis): modifies
+        pixels near the anchor, leaves the rest, preserves shape/range."""
+        from emox.data.face import draw_pose_axes, pose_debug_overlay
+        from emox.data.fixtures import make_synthetic_clip
+
+        frame = np.full((64, 64, 3), -0.5, np.float32)
+        out = draw_pose_axes(frame, np.array([0.0, 0.0, 0.0]), np.array([0.5, 0.5]))
+        assert out.shape == frame.shape
+        changed = np.argwhere((out != frame).any(-1))
+        assert len(changed) > 0
+        # zero pose: X axis runs right, Y axis runs down from the anchor
+        assert (out[32, 40] == (1.0, -1.0, -1.0)).all()   # red to the right
+        assert (out[40, 32] == (-1.0, 1.0, -1.0)).all()   # green downward
+        assert (frame == -0.5).all()  # input untouched
+
+        clip = make_synthetic_clip(seed=0, num_frames=4, height=64, width=64)
+        ov = pose_debug_overlay(clip["frames"], clip["landmarks"])
+        if ov is not None:  # None only when cv2 is absent
+            assert ov.shape == clip["frames"][0].shape
+            assert not np.array_equal(ov, clip["frames"][0])
+
     def test_masks(self):
         m = mask_from_bbox(32, 32, (8, 8, 24, 24), pad_ratio=0.0)
         assert m.shape == (32, 32, 1) and m.sum() == 16 * 16
