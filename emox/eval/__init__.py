@@ -1,6 +1,7 @@
 from emox.eval.metrics import (
     audio_sync_score,
     evaluate_clip,
+    frechet_distance,
     frame_audio_envelope,
     identity_similarity,
     mouth_openness,
@@ -13,6 +14,7 @@ from emox.eval.metrics import (
 __all__ = [
     "audio_sync_score",
     "evaluate_clip",
+    "frechet_distance",
     "frame_audio_envelope",
     "identity_similarity",
     "mouth_openness",

@@ -38,6 +38,7 @@ __all__ = [
     "pearson",
     "audio_sync_score",
     "identity_similarity",
+    "frechet_distance",
     "evaluate_clip",
 ]
 
@@ -191,6 +192,31 @@ def identity_similarity(frame_embeds: jax.Array, ref_embed: jax.Array) -> jax.Ar
     fe = fe / jnp.maximum(jnp.linalg.norm(fe, axis=-1, keepdims=True), 1e-8)
     re = re / jnp.maximum(jnp.linalg.norm(re), 1e-8)
     return jnp.mean(fe @ re)
+
+
+def frechet_distance(feats_a: jax.Array, feats_b: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Fréchet distance between two gaussian fits of feature sets [N, D].
+
+    The FID/FVD family needs a pretrained Inception/I3D this environment
+    cannot download; fitting the gaussians in emox's OWN VAE latent space
+    (flatten encode_images outputs per frame) gives the same
+    distribution-level comparison with zero external weights — a latent
+    Fréchet distance. Uses the eigendecomposition form of
+    tr((S_a S_b)^1/2) (symmetrised product, PSD-clipped), stable for the
+    small-N/large-D regime typical of per-clip evaluation."""
+    a = feats_a.astype(jnp.float32).reshape(feats_a.shape[0], -1)
+    b = feats_b.astype(jnp.float32).reshape(feats_b.shape[0], -1)
+    mu_a, mu_b = jnp.mean(a, 0), jnp.mean(b, 0)
+    ca = jnp.cov(a, rowvar=False) + eps * jnp.eye(a.shape[1])
+    cb = jnp.cov(b, rowvar=False) + eps * jnp.eye(b.shape[1])
+    diff = jnp.sum((mu_a - mu_b) ** 2)
+    # tr((Ca Cb)^1/2) via eigvals of the symmetrised product: Ca Cb is
+    # similar to Ca^1/2 Cb Ca^1/2 (PSD), whose eigenvalues are real >= 0
+    ev_a, U = jnp.linalg.eigh(ca)
+    sqrt_a = (U * jnp.sqrt(jnp.maximum(ev_a, 0.0))) @ U.T
+    ev = jnp.linalg.eigvalsh(sqrt_a @ cb @ sqrt_a)
+    tr_sqrt = jnp.sum(jnp.sqrt(jnp.maximum(ev, 0.0)))
+    return diff + jnp.trace(ca) + jnp.trace(cb) - 2.0 * tr_sqrt
 
 
 def evaluate_clip(

@@ -101,6 +101,28 @@ class TestIdentity:
         assert float(identity_similarity(jnp.asarray(-same), jnp.asarray(e[0]))) == pytest.approx(-1.0, abs=1e-5)
 
 
+class TestFrechet:
+    def test_matches_analytic_diagonal_case(self):
+        """Diagonal-gaussian ground truth: FD = |mu_a - mu_b|^2 +
+        sum_i (sqrt(v_a_i) - sqrt(v_b_i))^2."""
+        from emox.eval import frechet_distance
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 1, (4000, 4)).astype(np.float32)
+        assert float(frechet_distance(jnp.asarray(a), jnp.asarray(a[:2000]))) < 0.05
+        b = a[2000:] * np.array([2.0, 1, 1, 1], np.float32) + np.array([3.0, 0, 0, 0], np.float32)
+        fd = float(frechet_distance(jnp.asarray(a[:2000]), jnp.asarray(b)))
+        assert fd == pytest.approx(3.0**2 + (1.0 - 2.0) ** 2, rel=0.1)
+
+    def test_flattens_feature_dims(self):
+        from emox.eval import frechet_distance
+
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(64, 2, 3)).astype(np.float32)
+        b = rng.normal(size=(64, 2, 3)).astype(np.float32)
+        assert np.isfinite(float(frechet_distance(jnp.asarray(a), jnp.asarray(b))))
+
+
 class TestEvaluateClip:
     def test_keys_follow_inputs(self, clip):
         g = clip["frames"]
