@@ -365,21 +365,24 @@ def cmd_eval(args) -> int:
             gen = np.stack([resize_bilinear(np.ascontiguousarray(f, np.float32), h, w) for f in gen])
     metrics = evaluate_clip(gen, gt=gt, masks=masks, wav=wav, fps=fps, sample_rate=sr)
 
-    if args.ref_image and args.params:
-        # CLIP-vision identity drift (reference EMOAnimationPipeline.py:867
-        # loads a CLIP image encoder for exactly this identity role)
+    if args.params:
         import jax.numpy as jnp
 
-        from emox.models.clip import clip_normalize
         from emox.models.emo import EMOModel
         from emox.train.trainer import Checkpointer
 
         cfg = _load_config(args)
-        if cfg.clip.vision_enabled:
-            model = EMOModel(cfg)
-            params = Checkpointer(args.params).restore_params(use_ema=args.ema)
-            if params is not None and "clip_vision" in params:
+        model = EMOModel(cfg)
+        params = Checkpointer(args.params).restore_params(use_ema=args.ema)
+        if params is None:
+            raise SystemExit(f"no checkpoint under {args.params}")
+
+        if args.ref_image:
+            # CLIP-vision identity drift (reference EMOAnimationPipeline.py:867
+            # loads a CLIP image encoder for exactly this identity role)
+            if cfg.clip.vision_enabled and "clip_vision" in params:
                 from emox.data.native import resize_bilinear
+                from emox.models.clip import clip_normalize
 
                 s = cfg.clip.image_size
                 ref = _load_image(args.ref_image, s, s)
@@ -388,9 +391,24 @@ def cmd_eval(args) -> int:
                 ref_emb = model.encode_image_embedding(params, clip_normalize(jnp.asarray((ref[None] + 1.0) / 2.0)))
                 metrics["identity_similarity"] = float(identity_similarity(emb, ref_emb[0]))
             else:
-                print("NOTE: checkpoint has no clip_vision params; skipping identity metric")
-        else:
-            print("NOTE: clip.vision_enabled is False in this config; skipping identity metric")
+                print("NOTE: config/checkpoint has no clip_vision; skipping identity metric")
+
+        if gt is not None:
+            # FID/FVD-family stand-in: Frechet distance between gaussian
+            # fits of per-frame VAE latents (emox's own encoder — no
+            # pretrained Inception/I3D download needed)
+            import jax
+
+            from emox.eval import frechet_distance
+
+            def enc(fr):
+                lat = model.encode_images(params, jnp.asarray(fr))
+                # pool to a compact per-frame descriptor: a clip has only
+                # T samples, so the gaussian fit needs D << full-latent dim
+                pooled = jax.image.resize(lat, (lat.shape[0], 4, 4, lat.shape[-1]), "linear")
+                return pooled.reshape(lat.shape[0], -1)
+
+            metrics["latent_frechet"] = float(frechet_distance(enc(gen), enc(gt)))
 
     line = json.dumps({k: round(v, 6) for k, v in metrics.items()})
     print(line)

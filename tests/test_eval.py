@@ -159,3 +159,47 @@ class TestCLI:
         assert m["psnr_db"] > 20.0
         assert m["ssim"] > 0.5
         assert m["audio_sync"] > 0.8
+
+    @pytest.mark.slow
+    def test_eval_with_params_latent_frechet(self, tmp_path, clip):
+        """--params wires the VAE-latent Frechet metric into the CLI."""
+        import types
+
+        import jax
+        import yaml
+
+        from emox.cli import main
+        from emox.core.config import load_config
+        from emox.models.emo import EMOModel
+        from emox.train.trainer import Checkpointer
+
+        tiny = {
+            "vae": {"base_channels": 8, "channel_multipliers": [1, 2], "num_res_blocks": 1, "norm_groups": 4},
+            "model": {"base_channels": 8, "channel_multipliers": [1, 2], "layers_per_block": 1,
+                      "norm_groups": 4, "attention_head_dim": 4, "cross_attention_dim": 8,
+                      "attention_levels": [1], "audio_context_dim": 16, "use_cross_attention": False},
+            "audio": {"hidden_dim": 16, "num_layers": 1, "num_heads": 2, "conv_dim": 8},
+            "data": {"width": 64, "height": 64},
+        }
+        cfg_path = os.path.join(tmp_path, "tiny.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(tiny, f)
+        cfg = load_config(cfg_path)
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=64)
+        ck = Checkpointer(os.path.join(tmp_path, "ckpt"))
+        ck.save(0, types.SimpleNamespace(step=0, params=params, opt_state={"none": 0}, ema_params=None))
+        ck.manager.wait_until_finished()
+
+        gt_path = os.path.join(tmp_path, "gt.npz")
+        np.savez_compressed(gt_path, frames=clip["frames"][:8], fps=25.0)
+        gen_path = os.path.join(tmp_path, "gen.npz")
+        np.savez_compressed(gen_path, frames=clip["frames"][:8] + 0.05)
+        out_path = os.path.join(tmp_path, "m.json")
+        rc = main(["eval", "--gen", gen_path, "--gt", gt_path,
+                   "--params", os.path.join(tmp_path, "ckpt"), "--config", cfg_path,
+                   "--out", out_path])
+        assert rc == 0
+        with open(out_path) as f:
+            m = json.load(f)
+        assert "latent_frechet" in m and np.isfinite(m["latent_frechet"])
