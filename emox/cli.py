@@ -10,6 +10,7 @@ EMOAnimationPipeline.py:950-955) with one `python -m emox` CLI:
   python -m emox train --stage 2 --from-stage 1
   python -m emox infer --config configs/inference.yaml --ref-image face.png --audio speech.wav --out out.mp4
   python -m emox import-weights --vae vae.safetensors --unet unet.safetensors --out sd_params
+  python -m emox eval --gen out.npz --gt data/cache/clip.npz
   python -m emox bench --preset tiny
 
 No torch.multiprocessing.spawn / NCCL rendezvous equivalent is needed:
