@@ -343,16 +343,19 @@ def cmd_eval(args) -> int:
     gt = masks = wav = None
     fps, sr = args.fps, 16000
     if args.gt:
-        if args.gt.endswith((".npz", ".npy")):
+        if args.gt.endswith(".npz"):
+            # precompute cache: carries masks/wav/fps alongside the frames
             with np.load(args.gt) as z:
                 gt = np.asarray(z["frames"])
                 if gt.dtype == np.uint8:
                     gt = gt.astype(np.float32) / 127.5 - 1.0
                 masks = np.asarray(z["face_masks"]) if "face_masks" in z else None
                 wav = np.asarray(z["wav"]) if "wav" in z else None
-                fps = float(z["fps"]) if "fps" in z else fps
+                if fps is None and "fps" in z:  # explicit --fps wins
+                    fps = float(z["fps"])
         else:
             gt = _load_frames(args.gt)
+    fps = 25.0 if fps is None else fps
     if args.audio:
         wav, sr = _load_audio(args.audio, sr)
     if gt is not None:
@@ -476,6 +479,8 @@ def _parse_speeds(spec, total_frames: int, speed_axes: int):
         arr = np.load(spec).astype(np.float32)
         if arr.ndim == 1:
             arr = arr[:, None] if speed_axes > 1 else arr
+        elif arr.ndim == 2 and speed_axes == 1 and arr.shape[1] == 1:
+            arr = arr[:, 0]  # the documented [T, axes] form at axes=1
     else:
         vals = np.asarray([float(v) for v in spec.split(",")], np.float32)
         if len(vals) != speed_axes:
@@ -642,7 +647,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--params", help="checkpoint dir with clip_vision params (identity metric)")
     pe.add_argument("--config", help="config YAML (identity metric)")
     pe.add_argument("--ema", action="store_true", help="use EMA shadow weights for the identity encoder")
-    pe.add_argument("--fps", type=float, default=25.0)
+    pe.add_argument("--fps", type=float, default=None,
+                    help="frame rate (default: the gt cache's fps, else 25)")
     pe.add_argument("--out", help="also write the metrics JSON to this file")
     pe.add_argument("--set", action="append", default=[], metavar="SEC.KEY=VAL")
     pe.set_defaults(fn=cmd_eval, stage=None)

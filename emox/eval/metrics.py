@@ -204,6 +204,12 @@ def frechet_distance(feats_a: jax.Array, feats_b: jax.Array, eps: float = 1e-6) 
     Fréchet distance. Uses the eigendecomposition form of
     tr((S_a S_b)^1/2) (symmetrised product, PSD-clipped), stable for the
     small-N/large-D regime typical of per-clip evaluation."""
+    if feats_a.shape[0] < 2 or feats_b.shape[0] < 2:
+        # jnp.cov divides by N-1: a single-frame set yields NaN, not a metric
+        raise ValueError(
+            f"frechet_distance needs >= 2 frames per set to fit a gaussian, "
+            f"got {feats_a.shape[0]} vs {feats_b.shape[0]}"
+        )
     a = feats_a.astype(jnp.float32).reshape(feats_a.shape[0], -1)
     b = feats_b.astype(jnp.float32).reshape(feats_b.shape[0], -1)
     mu_a, mu_b = jnp.mean(a, 0), jnp.mean(b, 0)

@@ -323,6 +323,15 @@ class EMOPipeline:
         ml = min(self.config.clip.max_positions, 77)
         ids = jnp.asarray(tokenizer.encode([prompt], max_length=ml))
         uids = jnp.asarray(tokenizer.encode([negative_prompt], max_length=ml))
+        vs = self.config.clip.vocab_size
+        hi = int(max(jnp.max(ids), jnp.max(uids)))
+        if hi >= vs:
+            # nn.Embed gathers CLAMP out-of-range ids on XLA — a mismatched
+            # tokenizer would silently map every token to the last row
+            raise ValueError(
+                f"tokenizer produced id {hi} but clip.vocab_size={vs}; the "
+                f"tokenizer vocabulary does not match this model's text encoder"
+            )
         enc = getattr(self, "_jit_encode_text", None)
         if enc is None:
             enc = self._jit_encode_text = jax.jit(self.model.encode_text)

@@ -62,6 +62,12 @@ class EMOModel:
             clip_text=CLIPTextEncoder(config.clip, **kw) if config.clip.text_enabled else None,
             clip_vision=CLIPVisionEncoder(config.clip, **kw) if config.clip.vision_enabled else None,
         )
+        if config.model.use_identity_embed and not config.clip.vision_enabled:
+            raise ValueError(
+                "model.use_identity_embed=True needs clip.vision_enabled=True: "
+                "the identity embedding is the CLIP-vision encoding of the "
+                "reference image (trained into the denoiser by every stage)"
+            )
 
     # ---- init ------------------------------------------------------------
     def init_params(self, key: jax.Array, num_frames: int = 2, image_size: Optional[int] = None) -> Params:

@@ -26,6 +26,7 @@ frames folded into batch for all spatial ops.
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, NamedTuple, Optional
 
 import flax.linen as nn
@@ -122,8 +123,10 @@ class UNet(nn.Module):
         else:
             ST, TT, AC = SpatialTransformer, TemporalTransformer, AudioCrossAttention
         # cfg.flash_attention=False pins every attention in this UNet to the
-        # plain XLA path; True keeps the measured auto dispatch (None)
-        impl = None if cfg.flash_attention else "xla"
+        # plain XLA path; True keeps the measured auto dispatch (None). The
+        # documented process-wide override EMOX_ATTENTION_IMPL beats both
+        # (a kernel sweep/debug run must win over a frozen config).
+        impl = None if (cfg.flash_attention or os.environ.get("EMOX_ATTENTION_IMPL")) else "xla"
 
         squeeze = x.ndim == 4
         if squeeze:

@@ -167,6 +167,28 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
             k_drop, k_rdrop = jax.random.split(k_drop)
             ref_dropout = jax.random.bernoulli(k_rdrop, config.train.uncond_ratio, (b,))
 
+        identity_embed = None
+        if config.model.use_identity_embed:
+            # CLIP-encode the reference image into the identity embedding
+            # the denoiser adds to its time embedding — without this the
+            # zero-init identity_embed_proj receives no gradient and the
+            # inference-time --identity path stays a silent no-op
+            # (reference EMOAnimationPipeline.py:867 image_enc). CLIP
+            # vision itself stays frozen (trainable_mask). Dropped with
+            # the reference under the same CFG mask: a zeroed embedding
+            # contributes exactly nothing through the bias-free projection.
+            from emox.models.clip import clip_normalize
+
+            s = config.clip.image_size
+            small = jax.image.resize(batch["ref_image"], (b, s, s, 3), "bilinear")
+            identity_embed = model.encode_image_embedding(
+                params, clip_normalize((small.astype(jnp.float32) + 1.0) / 2.0)
+            )
+            if ref_dropout is not None:
+                identity_embed = identity_embed * (
+                    1.0 - ref_dropout.astype(identity_embed.dtype)
+                )[:, None]
+
         audio_windows = None
         if stage >= 2 and "wav" in batch:
             feats = model.modules.audio_encoder.apply({"params": params["audio_encoder"]}, batch["wav"])
@@ -191,7 +213,7 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
         pred = model.predict_noise(
             params, noisy, ts, ref_latent, audio_windows=audio_windows,
             speeds=speeds, face_mask=face_mask, control_cond=control_cond,
-            ref_dropout=ref_dropout,
+            ref_dropout=ref_dropout, identity_embed=identity_embed,
         )
         target = noise if sched.prediction_type == "epsilon" else get_velocity(sched, latents, noise, ts)
         err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2

@@ -78,6 +78,22 @@ class TestIO:
         assert sr == 16000
         assert abs(len(wav) - 16000) <= 2  # resampled 1 s
 
+    def test_parse_speeds_accepts_documented_shapes(self, tmp_path):
+        """--speeds help advertises '.npy ([T] or [T, axes])' — both forms
+        must parse for every speed_axes, including [T, 1] at axes=1."""
+        from emox.cli import _parse_speeds
+
+        p1 = str(tmp_path / "s1.npy")
+        np.save(p1, np.ones((6, 1), np.float32))  # [T, 1] at axes=1
+        assert _parse_speeds(p1, 6, 1).shape == (1, 6)
+        p2 = str(tmp_path / "s2.npy")
+        np.save(p2, np.ones((6,), np.float32))  # [T] at axes=1
+        assert _parse_speeds(p2, 6, 1).shape == (1, 6)
+        p3 = str(tmp_path / "s3.npy")
+        np.save(p3, np.ones((4, 3), np.float32))  # [T, axes], padded to T=6
+        assert _parse_speeds(p3, 6, 3).shape == (1, 6, 3)
+        assert _parse_speeds("0.1,0,0", 6, 3).shape == (1, 6, 3)
+
 
 class TestEndToEnd:
     def test_precompute_train_infer_cli(self, tmp_path):

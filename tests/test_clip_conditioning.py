@@ -135,3 +135,28 @@ class TestIdentityEmbedding:
         frames = pipe(params, ref, wav, video_length=2, use_identity=True)
         assert frames.shape == (1, 2, 32, 32, 3)
         assert np.isfinite(np.asarray(frames)).all()
+
+    def test_training_feeds_identity_embed(self, setup):
+        """The stage loss must CLIP-encode the reference image and feed it
+        as identity_embed — otherwise the zero-init identity_embed_proj
+        never receives gradient and inference --identity stays a silent
+        no-op forever. Asserts nonzero grad on the projection kernel and
+        that stage 1 marks it trainable."""
+        import dataclasses as dc
+
+        from emox.diffusion.schedule import make_schedule
+        from emox.train.stages import stage_loss_fn, trainable_mask
+
+        model, params, _, _ = setup
+        cfg = clip_cfg()
+        cfg = cfg.replace(train=dc.replace(cfg.train, uncond_ratio=0.0))
+        loss_fn = stage_loss_fn(model, cfg, make_schedule(cfg.diffusion), 1)
+        batch = {
+            "images": jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3)) * 0.1,
+            "ref_image": jax.random.normal(jax.random.PRNGKey(6), (2, 32, 32, 3)) * 0.1,
+        }
+        grads, _ = jax.grad(loss_fn, has_aux=True)(params, batch, jax.random.PRNGKey(7))
+        g = np.asarray(grads["denoiser"]["identity_embed_proj"]["kernel"])
+        assert np.abs(g).max() > 0.0
+        mask = trainable_mask(params, 1)
+        assert mask["denoiser"]["identity_embed_proj"]["kernel"]

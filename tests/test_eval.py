@@ -20,6 +20,7 @@ from emox.eval import (
     audio_sync_score,
     evaluate_clip,
     frame_audio_envelope,
+    frechet_distance,
     identity_similarity,
     pearson,
     psnr,
@@ -136,6 +137,10 @@ class TestEvaluateClip:
         with pytest.raises(ValueError):
             evaluate_clip(clip["frames"][:, :32], gt=clip["frames"])
 
+    def test_frechet_single_frame_raises(self):
+        with pytest.raises(ValueError, match=">= 2 frames"):
+            frechet_distance(jnp.ones((1, 4)), jnp.ones((3, 4)))
+
 
 class TestCLI:
     def test_eval_command_end_to_end(self, tmp_path, clip):
@@ -159,6 +164,32 @@ class TestCLI:
         assert m["psnr_db"] > 20.0
         assert m["ssim"] > 0.5
         assert m["audio_sync"] > 0.8
+
+    def test_eval_npy_gt_and_fps_override(self, tmp_path, clip):
+        """--gt <file>.npy must load as plain frames (np.load on .npy is
+        an ndarray, not a context manager), and an explicit --fps must win
+        over a gt cache's stored fps."""
+        from emox.cli import main
+
+        gt_npy = os.path.join(tmp_path, "gt.npy")
+        np.save(gt_npy, clip["frames"][:4])
+        gen_path = os.path.join(tmp_path, "gen.npz")
+        np.savez_compressed(gen_path, frames=clip["frames"][:4] + 0.02)
+        out_path = os.path.join(tmp_path, "m.json")
+        assert main(["eval", "--gen", gen_path, "--gt", gt_npy, "--out", out_path]) == 0
+        with open(out_path) as f:
+            assert "psnr_db" in json.load(f)
+
+        # fps flag vs cache fps: flag wins -> different audio_sync framing
+        gt_npz = os.path.join(tmp_path, "gtf.npz")
+        np.savez_compressed(gt_npz, frames=clip["frames"], face_masks=clip["face_masks"],
+                            wav=clip["wav"], fps=25.0)
+        o1, o2 = os.path.join(tmp_path, "m1.json"), os.path.join(tmp_path, "m2.json")
+        assert main(["eval", "--gen", gen_path, "--gt", gt_npz, "--out", o1]) == 0
+        assert main(["eval", "--gen", gen_path, "--gt", gt_npz, "--fps", "50", "--out", o2]) == 0
+        with open(o1) as f1, open(o2) as f2:
+            m1, m2 = json.load(f1), json.load(f2)
+        assert m1["audio_sync"] != m2["audio_sync"]
 
     @pytest.mark.slow
     def test_eval_with_params_latent_frechet(self, tmp_path, clip):
