@@ -33,9 +33,39 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import os
+
 from emox.nn.blocks import FusedGroupNorm
 from emox.nn.embeddings import sinusoidal_positions
 from emox.ops.attention import dot_product_attention_nlc
+from emox.ops.ff import _default_impl as ff_default_impl
+from emox.ops.ff import geglu_ff
+
+
+def _fused_qkv_enabled() -> bool:
+    """Opt-in (EMOX_FUSED_QKV=1): fold self-attention q/k/v projections
+    into ONE matmul over column-concatenated kernels. Mathematically the
+    separate dots (each output column is an independent contraction);
+    whether it beats XLA's own dot merging is an on-chip end-to-end
+    question — measured-default protocol, off until proven."""
+    return os.environ.get("EMOX_FUSED_QKV", "") not in ("", "0")
+
+
+def _fused_qkv_apply(mod, denses, x, inner, bias, dtype):
+    """Create the to_q/to_k/to_v params via their Dense modules (dead
+    one-token calls, DCE'd), then run the fused projection."""
+    for d in denses:
+        _ = d(x[..., :1, :])
+    p = mod.variables["params"]
+    w = jnp.concatenate(
+        [p[n]["kernel"].astype(dtype) for n in ("to_q", "to_k", "to_v")], axis=1
+    )
+    qkv = jnp.dot(x.astype(dtype), w)
+    if bias:
+        qkv = qkv + jnp.concatenate(
+            [p[n]["bias"].astype(dtype) for n in ("to_q", "to_k", "to_v")]
+        )
+    return qkv[..., :inner], qkv[..., inner : 2 * inner], qkv[..., 2 * inner :]
 
 
 class Attention(nn.Module):
@@ -81,11 +111,19 @@ class Attention(nn.Module):
         dense = lambda d, name: nn.Dense(
             d, use_bias=self.qkv_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
+        to_q = dense(inner, "to_q")
         to_k = dense(inner, "to_k")
         to_v = dense(inner, "to_v")
-        q = dense(inner, "to_q")(x)
-        k = to_k(ctx)
-        v = to_v(ctx)
+        if context is None and _fused_qkv_enabled():
+            # self-attention: q/k/v all read x — one matmul over the
+            # column-concatenated kernels reads x once instead of three
+            # times (columnwise-independent, exactly the separate dots).
+            # Param tree unchanged (the same Dense modules own the params).
+            q, k, v = _fused_qkv_apply(self, (to_q, to_k, to_v), x, inner, self.qkv_bias, self.dtype)
+        else:
+            q = to_q(x)
+            k = to_k(ctx)
+            v = to_v(ctx)
         if context is not None and context_tile > 1:
             # per-clip context tokens (text prompt): project once, repeat
             # the PROJECTED K/V across frames (same rowwise-linear argument
@@ -113,19 +151,47 @@ class Attention(nn.Module):
 
 
 class GEGLUFeedForward(nn.Module):
-    """GEGLU MLP (reference magicanimate/models/orig_attention.py GEGLU/FeedForward)."""
+    """GEGLU MLP (reference magicanimate/models/orig_attention.py GEGLU/FeedForward).
+
+    Routed through emox.ops.geglu_ff: on the fused path a Pallas kernel
+    keeps the 2*mult*dim projection in VMEM instead of round-tripping it
+    through HBM between the two matmuls (see emox/ops/ff.py). The param
+    tree is identical on every path (proj_in/proj_out kernels+biases are
+    created by the same nn.Dense submodules), so checkpoints and torch
+    imports are impl-agnostic.
+    """
 
     mult: int = 4
+    # None = EMOX_FF_IMPL env, else the measured default ("xla" until the
+    # fused kernel wins an on-chip end-to-end A/B)
+    impl: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dim = x.shape[-1]
-        h = nn.Dense(dim * self.mult * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        d1 = nn.Dense(dim * self.mult * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")
+        d2 = nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")
+        impl = self.impl or ff_default_impl()
+        if impl != "xla":
+            # create the Dense params without paying their matmuls (the
+            # one-token calls are dead code XLA eliminates), then feed the
+            # raw kernels/biases to the fused op
+            _ = d1(x[..., :1, :])
+            _ = d2(jnp.zeros(x.shape[:-2] + (1, dim * self.mult), self.dtype))
+            p = self.variables["params"]
+            cast = lambda a: a.astype(self.dtype)
+            return geglu_ff(
+                x.astype(self.dtype),
+                cast(p["proj_in"]["kernel"]), cast(p["proj_in"]["bias"]),
+                cast(p["proj_out"]["kernel"]), cast(p["proj_out"]["bias"]),
+                impl=impl,
+            )
+        h = d1(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)  # exact erf (torch F.gelu parity)
-        return nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+        return d2(h)
 
 
 class TransformerBlock(nn.Module):
@@ -278,9 +344,15 @@ class FrameAxisAttention(nn.Module):
             inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         split = lambda y: y.reshape(b, t, l, self.heads, self.head_dim)
-        q = split(dense("to_q")(x))
-        k = split(dense("to_k")(x))
-        v = split(dense("to_v")(x))
+        if _fused_qkv_enabled():
+            q, k, v = _fused_qkv_apply(
+                self, (dense("to_q"), dense("to_k"), dense("to_v")), x, inner, False, self.dtype
+            )
+            q, k, v = split(q), split(k), split(v)
+        else:
+            q = split(dense("to_q")(x))
+            k = split(dense("to_k")(x))
+            v = split(dense("to_v")(x))
         ring_n = 1 if self.ring_mesh is None else self.ring_mesh.shape.get(self.ring_axis, 1)
         if ring_n > 1 and t % ring_n == 0:
             from emox.ops.ring import ring_frame_attention

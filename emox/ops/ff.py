@@ -1,0 +1,192 @@
+"""Fused GEGLU feed-forward as a Pallas TPU kernel.
+
+The transformer FF (reference magicanimate/models/orig_attention.py GEGLU /
+FeedForward: proj_in to 8C, split value/gate, value * gelu(gate), proj_out
+to C) is HBM-bandwidth-bound on TPU: XLA runs it as dot -> fusion(gate) ->
+dot, materialising the [M, 8C] projection and the [M, 4C] gated activation
+in HBM between the two dots. At the flagship's level-0 sites (M = 16384
+tokens, C = 320) that is ~250 MB of intermediate traffic per site against
+only ~21 MB of input/output — the dots themselves are tiny (40 GFLOP).
+
+This kernel keeps both weight matrices resident in VMEM (24*C^2 bytes —
+2.5 MB at C = 320) and streams tokens through in row blocks: per block it
+computes proj_in on the MXU with fp32 accumulation, applies the exact-erf
+GEGLU gate on the VPU, and immediately consumes the gated activation with
+the proj_out matmul — the 8C-wide intermediate never leaves VMEM. HBM
+traffic drops to x + out + weights-once.
+
+The weights-resident design only fits VMEM for C <= ~448 (the level-0
+blocks); wider sites keep the XLA path, where the intermediate-to-I/O
+traffic ratio is lower anyway (weights grow as C^2 against M shrinking 4x
+per level). Backward: custom_vjp that recomputes through the plain XLA
+formulation — FF FLOPs are small, and not storing the [M, 8C] projection
+for the backward is the same memory win remat would buy.
+
+Dispatch: `geglu_ff(..., impl=None)` resolves EMOX_FF_IMPL, else "xla"
+(pending an on-chip end-to-end A/B — same measured-default protocol as
+emox.ops.attention; microbenches through the axon tunnel are not trusted).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-specific memory spaces; absent on some CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def geglu_ff_xla(
+    x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array
+) -> jax.Array:
+    """Plain XLA GEGLU FF; also the recompute target for the kernel's VJP.
+
+    Matches the nn.Dense formulation: operands are used in their given
+    (compute) dtype, exact-erf gelu (torch F.gelu parity).
+    """
+    h = jnp.dot(x, w1) + b1
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.gelu(g, approximate=False)
+    return jnp.dot(h, w2) + b2
+
+
+def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, hidden: int):
+    x = x_ref[:]
+    # [bm, 2F] fp32 on the MXU; the full projection lives only in VMEM
+    h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    a, g = h[:, :hidden], h[:, hidden:]
+    hg = (a * jax.nn.gelu(g, approximate=False)).astype(x.dtype)
+    o = jnp.dot(hg, w2_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _ff_impl(x, w1, b1, w2, b2, block_m: int, interpret: bool) -> jax.Array:
+    if not _HAS_PLTPU:  # pragma: no cover — exotic CPU-only builds
+        raise RuntimeError("pallas TPU memory spaces unavailable; use impl='xla'")
+    orig_shape = x.shape
+    c = x.shape[-1]
+    two_f = w1.shape[-1]
+    hidden = two_f // 2
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    xf = x.reshape(m, c)
+    bm = min(block_m, max(8, ((m + 7) // 8) * 8))
+    m_pad = ((m + bm - 1) // bm) * bm
+    if m_pad != m:
+        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    mem = dict(memory_space=pltpu.VMEM)
+    const2 = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ff_kernel, hidden=hidden),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), x.dtype),
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0), **mem),
+            pl.BlockSpec((c, two_f), const2, **mem),
+            pl.BlockSpec((1, two_f), const2, **mem),
+            pl.BlockSpec((hidden, c), const2, **mem),
+            pl.BlockSpec((1, c), const2, **mem),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0), **mem),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * c * two_f + 2 * m * hidden * c,
+            bytes_accessed=2 * (2 * m * c + c * two_f + hidden * c),
+            transcendentals=m * hidden,
+        ),
+        interpret=interpret,
+    )(xf, w1, b1.reshape(1, two_f), w2, b2.reshape(1, c))
+    return out[:m].reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _ff(x, w1, b1, w2, b2, block_m, interpret):
+    return _ff_impl(x, w1, b1, w2, b2, block_m, interpret)
+
+
+def _ff_fwd(x, w1, b1, w2, b2, block_m, interpret):
+    return _ff_impl(x, w1, b1, w2, b2, block_m, interpret), (x, w1, b1, w2, b2)
+
+
+def _ff_bwd(block_m, interpret, res, g):
+    # recompute-based backward through the XLA formulation: exact matmul
+    # grads, and the [M, 8C] projection is never saved from the forward
+    _, vjp = jax.vjp(geglu_ff_xla, *res)
+    return vjp(g)
+
+
+_ff.defvjp(_ff_fwd, _ff_bwd)
+
+
+def fused_geglu_ff(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas fused GEGLU FF. x [..., C], w1 [C, 2F], b1 [2F], w2 [F, C],
+    b2 [C] -> [..., C]."""
+    return _ff(x, w1, b1, w2, b2, block_m, interpret)
+
+
+# VMEM budget for the weights-resident kernel: w1 + w2 (16C^2 + 8C^2 bytes
+# at bf16) + the fp32 [bm, 8C] projection + double-buffered x/out blocks,
+# against ~12 MB usable of the 16 MB scoped budget. C = 320 (SD level 0)
+# fits with room; C = 640 does not (9.8 MB of weights + 5.2 MB projection).
+_FUSED_MAX_C = 448
+
+
+def _fits_vmem(c: int, two_f: int, block_m: int, itemsize: int) -> bool:
+    weights = c * two_f * itemsize + (two_f // 2) * c * itemsize
+    proj32 = block_m * two_f * 4
+    io = 2 * 2 * block_m * c * itemsize
+    return c <= _FUSED_MAX_C and (weights + proj32 + io) < 12 * 2**20
+
+
+def _default_impl() -> str:
+    env = os.environ.get("EMOX_FF_IMPL")
+    if env:
+        return env
+    # measured-default protocol: stays "xla" until an end-to-end on-chip
+    # A/B proves the fused kernel (EMOX_FF_IMPL=auto to opt in)
+    return "xla"
+
+
+def geglu_ff(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatching GEGLU FF entry point.
+
+    impl: "auto" (fused where the weights-resident kernel fits VMEM, XLA
+    elsewhere), "fused" (force), "fused_interpret" (debug), "xla", None
+    (EMOX_FF_IMPL, else the measured default).
+    """
+    impl = impl or _default_impl()
+    if impl == "auto":
+        impl = "fused" if _fits_vmem(x.shape[-1], w1.shape[-1], 256, x.dtype.itemsize) else "xla"
+    if impl == "fused":
+        return fused_geglu_ff(x, w1, b1, w2, b2)
+    if impl == "fused_interpret":
+        return fused_geglu_ff(x, w1, b1, w2, b2, interpret=True)
+    if impl == "xla":
+        return geglu_ff_xla(x, w1, b1, w2, b2)
+    raise ValueError(f"unknown ff impl {impl!r}")

@@ -227,3 +227,134 @@ class TestGroupNorm:
         x = jnp.ones((1, 4, 30))
         with pytest.raises(ValueError):
             group_norm(x, jnp.ones(30), jnp.zeros(30), 32)
+
+
+class TestFusedGEGLUFF:
+    """Fused GEGLU feed-forward kernel (emox/ops/ff.py) vs the XLA path."""
+
+    def _args(self, m, c, mult=4, dtype=jnp.float32, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+        x = jax.random.normal(ks[0], (2, m // 2, c), dtype) * 0.5
+        w1 = jax.random.normal(ks[1], (c, 2 * mult * c), dtype) * (c ** -0.5)
+        b1 = jax.random.normal(ks[2], (2 * mult * c,), dtype) * 0.01
+        w2 = jax.random.normal(ks[3], (mult * c, c), dtype) * ((mult * c) ** -0.5)
+        b2 = jax.random.normal(ks[4], (c,), dtype) * 0.01
+        return x, w1, b1, w2, b2
+
+    @pytest.mark.parametrize("m,c", [(64, 64), (512, 320), (96, 128)])
+    def test_matches_xla(self, m, c):
+        from emox.ops.ff import fused_geglu_ff, geglu_ff_xla
+
+        args = self._args(m, c)
+        out = fused_geglu_ff(*args, interpret=True)
+        ref = geglu_ff_xla(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_bf16(self):
+        from emox.ops.ff import fused_geglu_ff, geglu_ff_xla
+
+        args = self._args(128, 320, dtype=jnp.bfloat16)
+        out = fused_geglu_ff(*args, interpret=True).astype(jnp.float32)
+        ref = geglu_ff_xla(*[a.astype(jnp.float32) for a in args])
+        # kernel keeps the projection fp32 where the XLA path rounds to
+        # bf16 between ops — compare both against the fp32 truth
+        assert float(jnp.max(jnp.abs(out - ref))) < 0.05
+
+    def test_unaligned_rows_padded(self):
+        from emox.ops.ff import fused_geglu_ff, geglu_ff_xla
+
+        x, w1, b1, w2, b2 = self._args(64, 128)
+        x = x.reshape(1, 64, 128)[:, :37]  # rows not a multiple of block_m
+        out = fused_geglu_ff(x, w1, b1, w2, b2, interpret=True)
+        ref = geglu_ff_xla(x, w1, b1, w2, b2)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_grad_matches_xla(self):
+        from emox.ops.ff import fused_geglu_ff, geglu_ff_xla
+
+        args = self._args(64, 128)
+        loss = lambda f: lambda *a: jnp.sum(f(*a) ** 2)
+        g_fused = jax.grad(loss(lambda *a: fused_geglu_ff(*a, interpret=True)), argnums=(0, 1, 2, 3, 4))(*args)
+        g_ref = jax.grad(loss(geglu_ff_xla), argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
+
+    def test_dispatch(self, monkeypatch):
+        from emox.ops import ff
+
+        args = self._args(64, 320)
+        # auto: C=320 fits the VMEM budget -> fused; C=1280 -> xla
+        assert ff._fits_vmem(320, 8 * 320, 256, 2)
+        assert not ff._fits_vmem(1280, 8 * 1280, 256, 2)
+        monkeypatch.setenv("EMOX_FF_IMPL", "xla")
+        out = ff.geglu_ff(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ff.geglu_ff_xla(*args)), rtol=1e-6)
+        with pytest.raises(ValueError):
+            ff.geglu_ff(*args, impl="nope")
+
+    def test_module_paths_share_params(self):
+        """GEGLUFeedForward param tree is identical across impls, and the
+        fused path applied with XLA-path params matches the XLA output."""
+        from emox.nn.attention_blocks import GEGLUFeedForward
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 40, 128)) * 0.3
+        mod_x = GEGLUFeedForward(impl="xla")
+        mod_f = GEGLUFeedForward(impl="fused_interpret")
+        px = mod_x.init(jax.random.PRNGKey(4), x)
+        pf = mod_f.init(jax.random.PRNGKey(4), x)
+        assert jax.tree.structure(px) == jax.tree.structure(pf)
+        for a, b in zip(jax.tree.leaves(px), jax.tree.leaves(pf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out_x = mod_x.apply(px, x)
+        out_f = mod_f.apply(px, x)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5, rtol=1e-5)
+
+    def test_module_fused_grad_flows(self):
+        from emox.nn.attention_blocks import GEGLUFeedForward
+
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 64)) * 0.3
+        mod = GEGLUFeedForward(impl="fused_interpret")
+        p = mod.init(jax.random.PRNGKey(6), x)
+        g = jax.grad(lambda pp: jnp.sum(mod.apply(pp, x) ** 2))(p)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert float(jnp.max(jnp.abs(g["params"]["proj_in"]["kernel"]))) > 0
+
+
+class TestFusedQKV:
+    """EMOX_FUSED_QKV=1 folds self-attn q/k/v into one matmul — must be
+    exactly the separate-dots math with an unchanged param tree."""
+
+    def test_attention_parity_and_params(self, monkeypatch):
+        from emox.nn.attention_blocks import Attention
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 64)) * 0.4
+        ref_kv = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 64)) * 0.4
+        mod = Attention(heads=2, head_dim=32)
+        monkeypatch.delenv("EMOX_FUSED_QKV", raising=False)
+        p = mod.init(jax.random.PRNGKey(2), x)
+        out_sep = mod.apply(p, x, extra_kv=ref_kv, extra_tile=2)
+        monkeypatch.setenv("EMOX_FUSED_QKV", "1")
+        p_f = mod.init(jax.random.PRNGKey(2), x)
+        assert jax.tree.structure(p) == jax.tree.structure(p_f)
+        out_fused = mod.apply(p, x, extra_kv=ref_kv, extra_tile=2)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_sep), atol=1e-6, rtol=1e-6)
+        # cross-attention ignores the flag (q and k/v read different inputs)
+        ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 64))
+        out_c = mod.apply(p, x, context=ctx)
+        monkeypatch.delenv("EMOX_FUSED_QKV")
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(mod.apply(p, x, context=ctx)))
+
+    def test_frame_axis_parity(self, monkeypatch):
+        from emox.nn.attention_blocks import FrameAxisAttention
+
+        x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 12, 64)) * 0.4
+        mod = FrameAxisAttention(heads=2, head_dim=32)
+        monkeypatch.delenv("EMOX_FUSED_QKV", raising=False)
+        p = mod.init(jax.random.PRNGKey(5), x)
+        out_sep = mod.apply(p, x)
+        monkeypatch.setenv("EMOX_FUSED_QKV", "1")
+        assert jax.tree.structure(mod.init(jax.random.PRNGKey(5), x)) == jax.tree.structure(p)
+        out_fused = mod.apply(p, x)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_sep), atol=1e-6, rtol=1e-6)
