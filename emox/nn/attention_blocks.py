@@ -194,6 +194,36 @@ class GEGLUFeedForward(nn.Module):
         return d2(h)
 
 
+def _ff_sublayer(parent: nn.Module, ln_mod: nn.Module, ff_mod: "GEGLUFeedForward", x: jax.Array) -> jax.Array:
+    """x + FF(LN(x)) — routed through the fused LN+GEGLU+residual block
+    kernel (emox.ops.fused_ln_geglu_ff) when the FF impl resolves to the
+    pallas path and the weights fit VMEM: one HBM read of x, one write of
+    y, no LN round trip, no 2*mult*C intermediate, no separate residual
+    add. Param tree identical to the plain path (the same LayerNorm /
+    GEGLUFeedForward submodules own the params)."""
+    from emox.ops.ff import _fits_vmem, _on_tpu, fused_ln_geglu_ff
+
+    impl = ff_mod.impl or ff_default_impl()
+    c = x.shape[-1]
+    if impl == "auto":
+        itemsize = jnp.dtype(ff_mod.dtype).itemsize
+        impl = "fused" if _fits_vmem(c, 2 * ff_mod.mult * c, 256, itemsize) else "xla"
+    if impl == "xla":
+        return x + ff_mod(ln_mod(x))
+    _ = ff_mod(ln_mod(x[..., :1, :]))  # create params; dead one-token compute
+    p = parent.variables["params"]
+    lnp, ffp = p[ln_mod.name], p[ff_mod.name]
+    dt = ff_mod.dtype
+    return fused_ln_geglu_ff(
+        x.astype(dt),
+        lnp["scale"], lnp["bias"],
+        ffp["proj_in"]["kernel"].astype(dt), ffp["proj_in"]["bias"].astype(dt),
+        ffp["proj_out"]["kernel"].astype(dt), ffp["proj_out"]["bias"].astype(dt),
+        eps=1e-5,
+        interpret=(impl == "fused_interpret") or not _on_tpu(),
+    )
+
+
 class TransformerBlock(nn.Module):
     """self-attn (+ref K/V) -> cross-attn (text/CLIP context) -> GEGLU FF,
     each pre-LayerNormed with residuals (reference
@@ -251,7 +281,10 @@ class TransformerBlock(nn.Module):
             x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv, extra_tile=ref_tile)
         if self.use_cross and context is not None:
             x = x + attn("attn2")(ln("norm2")(x), context=context, context_tile=ctx_tile)
-        x = x + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))
+        x = _ff_sublayer(
+            self, ln("norm3"),
+            GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name="ff"), x,
+        )
         # normed1 is what a ReferenceNet "writer" banks for the reader's
         # self-attention K/V concat (reference mutual_self_attention.py:229-241)
         return x, normed1
@@ -402,8 +435,9 @@ class TemporalTransformer(nn.Module):
             )
             tokens = tokens + attn(ln(tokens))
             lnf = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_ff_{i}")
-            tokens = tokens + GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name=f"ff_{i}")(
-                lnf(tokens)
+            tokens = _ff_sublayer(
+                self, lnf,
+                GEGLUFeedForward(dtype=self.dtype, param_dtype=self.param_dtype, name=f"ff_{i}"), tokens,
             )
         out = nn.Dense(
             c, kernel_init=nn.initializers.zeros, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"

@@ -15,13 +15,21 @@ from emox.ops.attention import (
     flash_attention,
     flash_attention_nlc,
 )
-from emox.ops.ff import fused_geglu_ff, geglu_ff, geglu_ff_xla
+from emox.ops.ff import (
+    fused_geglu_ff,
+    fused_ln_geglu_ff,
+    geglu_ff,
+    geglu_ff_xla,
+    ln_geglu_ff_xla,
+)
 from emox.ops.groupnorm import group_norm, group_norm_silu
 
 __all__ = [
     "geglu_ff",
     "geglu_ff_xla",
     "fused_geglu_ff",
+    "fused_ln_geglu_ff",
+    "ln_geglu_ff_xla",
     "dot_product_attention",
     "dot_product_attention_nlc",
     "attention_xla",

@@ -60,6 +60,132 @@ def geglu_ff_xla(
     return jnp.dot(h, w2) + b2
 
 
+def ln_geglu_ff_xla(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """y = x + GEGLU_FF(LayerNorm(x)) — the FF sub-block of every
+    transformer block. fp32 statistics, normalized output cast back to the
+    compute dtype (flax LayerNorm tolerance-parity); also the recompute
+    target for the fused block kernel's VJP (the VJP must differentiate
+    the math the kernel actually computes)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    return x + geglu_ff_xla(xn.astype(x.dtype), w1, b1, w2, b2)
+
+
+def _ln_ff_kernel(
+    x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, hidden: int, eps: float
+):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)).astype(x.dtype)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    a, g = h[:, :hidden], h[:, hidden:]
+    hg = (a * jax.nn.gelu(g, approximate=False)).astype(x.dtype)
+    o = jnp.dot(hg, w2_ref[:], preferred_element_type=jnp.float32)
+    o = o + b2_ref[:].astype(jnp.float32) + xf  # residual: x never re-read
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _ln_ff_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m: int, interpret: bool):
+    if not _HAS_PLTPU:  # pragma: no cover — exotic CPU-only builds
+        raise RuntimeError("pallas TPU memory spaces unavailable; use impl='xla'")
+    orig_shape = x.shape
+    c = x.shape[-1]
+    two_f = w1.shape[-1]
+    hidden = two_f // 2
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    xf = x.reshape(m, c)
+    bm = min(block_m, max(8, ((m + 7) // 8) * 8))
+    m_pad = ((m + bm - 1) // bm) * bm
+    if m_pad != m:
+        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    mem = dict(memory_space=pltpu.VMEM)
+    const2 = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ln_ff_kernel, hidden=hidden, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), x.dtype),
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0), **mem),
+            pl.BlockSpec((1, c), const2, **mem),
+            pl.BlockSpec((1, c), const2, **mem),
+            pl.BlockSpec((c, two_f), const2, **mem),
+            pl.BlockSpec((1, two_f), const2, **mem),
+            pl.BlockSpec((hidden, c), const2, **mem),
+            pl.BlockSpec((1, c), const2, **mem),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0), **mem),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * c * two_f + 2 * m * hidden * c + 10 * m * c,
+            bytes_accessed=2 * (2 * m * c + c * two_f + hidden * c),
+            transcendentals=m * hidden,
+        ),
+        interpret=interpret,
+    )(
+        xf,
+        ln_scale.reshape(1, c),
+        ln_bias.reshape(1, c),
+        w1,
+        b1.reshape(1, two_f),
+        w2,
+        b2.reshape(1, c),
+    )
+    return out[:m].reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _ln_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret):
+    return _ln_ff_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret)
+
+
+def _ln_ff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret):
+    out = _ln_ff_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _ln_ff_bwd(eps, block_m, interpret, res, g):
+    _, vjp = jax.vjp(lambda *a: ln_geglu_ff_xla(*a, eps=eps), *res)
+    return vjp(g)
+
+
+_ln_ff.defvjp(_ln_ff_fwd, _ln_ff_bwd)
+
+
+def fused_ln_geglu_ff(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    eps: float = 1e-5,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas fused x + GEGLU_FF(LayerNorm(x)). One HBM read of x, one
+    write of y — the LN round trip, the 2F-wide projection, the gated
+    activation, and the residual add all stay in VMEM."""
+    return _ln_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret)
+
+
 def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, hidden: int):
     x = x_ref[:]
     # [bm, 2F] fp32 on the MXU; the full projection lives only in VMEM
@@ -157,6 +283,13 @@ def _fits_vmem(c: int, two_f: int, block_m: int, itemsize: int) -> bool:
     return c <= _FUSED_MAX_C and (weights + proj32 + io) < 12 * 2**20
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _default_impl() -> str:
     env = os.environ.get("EMOX_FF_IMPL")
     if env:
@@ -184,7 +317,9 @@ def geglu_ff(
     if impl == "auto":
         impl = "fused" if _fits_vmem(x.shape[-1], w1.shape[-1], 256, x.dtype.itemsize) else "xla"
     if impl == "fused":
-        return fused_geglu_ff(x, w1, b1, w2, b2)
+        # compiled pallas needs a TPU; interpret keeps CPU (tests, eager
+        # init) working under a process-wide EMOX_FF_IMPL
+        return fused_geglu_ff(x, w1, b1, w2, b2, interpret=not _on_tpu())
     if impl == "fused_interpret":
         return fused_geglu_ff(x, w1, b1, w2, b2, interpret=True)
     if impl == "xla":

@@ -358,3 +358,69 @@ class TestFusedQKV:
         assert jax.tree.structure(mod.init(jax.random.PRNGKey(5), x)) == jax.tree.structure(p)
         out_fused = mod.apply(p, x)
         np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_sep), atol=1e-6, rtol=1e-6)
+
+
+class TestFusedLNGEGLUBlock:
+    """Fused x + FF(LN(x)) block kernel vs the plain module path."""
+
+    def _args(self, m, c, mult=4, seed=7):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+        x = jax.random.normal(ks[0], (2, m // 2, c)) * 0.5
+        gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+        beta = 0.05 * jax.random.normal(ks[2], (c,))
+        w1 = jax.random.normal(ks[3], (c, 2 * mult * c)) * (c ** -0.5)
+        b1 = 0.01 * jax.random.normal(ks[4], (2 * mult * c,))
+        w2 = jax.random.normal(ks[5], (mult * c, c)) * ((mult * c) ** -0.5)
+        b2 = 0.01 * jax.random.normal(ks[6], (c,))
+        return x, gamma, beta, w1, b1, w2, b2
+
+    @pytest.mark.parametrize("m,c", [(64, 64), (512, 320)])
+    def test_matches_xla(self, m, c):
+        from emox.ops.ff import fused_ln_geglu_ff, ln_geglu_ff_xla
+
+        args = self._args(m, c)
+        out = fused_ln_geglu_ff(*args, interpret=True)
+        ref = ln_geglu_ff_xla(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_grad_matches_xla(self):
+        from emox.ops.ff import fused_ln_geglu_ff, ln_geglu_ff_xla
+
+        args = self._args(64, 128)
+        loss = lambda f: lambda *a: jnp.sum(f(*a) ** 2)
+        gf = jax.grad(loss(lambda *a: fused_ln_geglu_ff(*a, interpret=True)), argnums=tuple(range(7)))(*args)
+        gr = jax.grad(loss(ln_geglu_ff_xla), argnums=tuple(range(7)))(*args)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
+
+    def test_transformer_block_parity(self, monkeypatch):
+        """TransformerBlock output with the fused FF sub-layer matches the
+        plain path on the SAME params; param trees identical."""
+        from emox.nn.attention_blocks import TransformerBlock
+
+        x = jax.random.normal(jax.random.PRNGKey(8), (2, 24, 64)) * 0.4
+        mod = TransformerBlock(heads=2, head_dim=32, use_cross=False)
+        monkeypatch.delenv("EMOX_FF_IMPL", raising=False)
+        p = mod.init(jax.random.PRNGKey(9), x)
+        out_plain, bank_plain = mod.apply(p, x)
+        monkeypatch.setenv("EMOX_FF_IMPL", "fused_interpret")
+        p_f = mod.init(jax.random.PRNGKey(9), x)
+        assert jax.tree.structure(p) == jax.tree.structure(p_f)
+        out_fused, bank_fused = mod.apply(p, x)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain), atol=5e-5, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bank_fused), np.asarray(bank_plain))
+
+    def test_temporal_transformer_parity(self, monkeypatch):
+        from emox.nn.attention_blocks import TemporalTransformer
+
+        x = jax.random.normal(jax.random.PRNGKey(10), (1, 4, 6, 6, 64)) * 0.4
+        mod = TemporalTransformer(heads=2, head_dim=32)
+        monkeypatch.delenv("EMOX_FF_IMPL", raising=False)
+        p = mod.init(jax.random.PRNGKey(11), x)
+        out_plain = mod.apply(p, x)
+        monkeypatch.setenv("EMOX_FF_IMPL", "fused_interpret")
+        out_fused = mod.apply(p, x)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain), atol=5e-5, rtol=1e-4)
+        g = jax.grad(lambda pp: jnp.sum(mod.apply(pp, x) ** 2))(p)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
