@@ -201,15 +201,19 @@ def _ff_sublayer(parent: nn.Module, ln_mod: nn.Module, ff_mod: "GEGLUFeedForward
     y, no LN round trip, no 2*mult*C intermediate, no separate residual
     add. Param tree identical to the plain path (the same LayerNorm /
     GEGLUFeedForward submodules own the params)."""
-    from emox.ops.ff import _fits_vmem, _on_tpu, fused_ln_geglu_ff
+    from emox.ops.ff import _on_tpu, ff_block_plan, fused_ln_geglu_ff
 
     impl = ff_mod.impl or ff_default_impl()
     c = x.shape[-1]
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    plan = ff_block_plan(m, c, ff_mod.mult, jnp.dtype(ff_mod.dtype).itemsize)
     if impl == "auto":
-        itemsize = jnp.dtype(ff_mod.dtype).itemsize
-        impl = "fused" if _fits_vmem(c, 2 * ff_mod.mult * c, 256, itemsize) else "xla"
-    if impl == "xla":
+        impl = "fused" if plan is not None else "xla"
+    if impl == "xla" or plan is None:
         return x + ff_mod(ln_mod(x))
+    block_m, block_f = plan
     _ = ff_mod(ln_mod(x[..., :1, :]))  # create params; dead one-token compute
     p = parent.variables["params"]
     lnp, ffp = p[ln_mod.name], p[ff_mod.name]
@@ -220,6 +224,8 @@ def _ff_sublayer(parent: nn.Module, ln_mod: nn.Module, ff_mod: "GEGLUFeedForward
         ffp["proj_in"]["kernel"].astype(dt), ffp["proj_in"]["bias"].astype(dt),
         ffp["proj_out"]["kernel"].astype(dt), ffp["proj_out"]["bias"].astype(dt),
         eps=1e-5,
+        block_m=block_m,
+        block_f=block_f,
         interpret=(impl == "fused_interpret") or not _on_tpu(),
     )
 

@@ -101,6 +101,97 @@ def _ln_ff_kernel(
     o_ref[:] = o.astype(o_ref.dtype)
 
 
+def _ln_ff_wide_kernel(
+    x_ref, g_ref, bt_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref,
+    o_ref, xn_ref, acc_ref, *, eps: float,
+):
+    """Wide-C variant: the hidden dimension F is tiled over the innermost
+    grid axis — W1/W2 column blocks stream through VMEM (double-buffered)
+    while the normalized input and the fp32 output accumulator live in
+    scratch across F steps. Weights are re-fetched once per ROW block, so
+    this wins only when M/block_m is small relative to the intermediate
+    traffic saved — the dispatch plan accounts for that."""
+    j = pl.program_id(1)
+    num_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+        xn_ref[:] = xn.astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[:]
+    a = jnp.dot(xn, w1v_ref[:], preferred_element_type=jnp.float32) + b1v_ref[:].astype(jnp.float32)
+    g = jnp.dot(xn, w1g_ref[:], preferred_element_type=jnp.float32) + b1g_ref[:].astype(jnp.float32)
+    hg = (a * jax.nn.gelu(g, approximate=False)).astype(xn.dtype)
+    acc_ref[:] += jnp.dot(hg, w2_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_j - 1)
+    def _():
+        o = acc_ref[:] + b2_ref[:].astype(jnp.float32) + x_ref[:].astype(jnp.float32)
+        o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _ln_ff_wide_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f, interpret):
+    if not _HAS_PLTPU:  # pragma: no cover
+        raise RuntimeError("pallas TPU memory spaces unavailable; use impl='xla'")
+    orig_shape = x.shape
+    c = x.shape[-1]
+    two_f = w1.shape[-1]
+    hidden = two_f // 2
+    assert hidden % block_f == 0, (hidden, block_f)
+    num_j = hidden // block_f
+    m = 1
+    for d in orig_shape[:-1]:
+        m *= d
+    xf = x.reshape(m, c)
+    bm = min(block_m, max(8, ((m + 7) // 8) * 8))
+    m_pad = ((m + bm - 1) // bm) * bm
+    if m_pad != m:
+        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    mem = dict(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ln_ff_wide_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), x.dtype),
+        grid=(m_pad // bm, num_j),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i, j: (i, 0), **mem),          # x
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), **mem),           # ln scale
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), **mem),           # ln bias
+            pl.BlockSpec((c, block_f), lambda i, j: (0, j), **mem),     # w1 value cols
+            pl.BlockSpec((c, block_f), lambda i, j, nj=num_j: (0, j + nj), **mem),  # w1 gate cols
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j), **mem),     # b1 value
+            pl.BlockSpec((1, block_f), lambda i, j, nj=num_j: (0, j + nj), **mem),  # b1 gate
+            pl.BlockSpec((block_f, c), lambda i, j: (j, 0), **mem),     # w2 rows
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), **mem),           # b2
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i, j: (i, 0), **mem),
+        scratch_shapes=[
+            pltpu.VMEM((bm, c), x.dtype),      # normalized input
+            pltpu.VMEM((bm, c), jnp.float32),  # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * c * two_f + 2 * m * hidden * c + 10 * m * c,
+            bytes_accessed=2 * (2 * m * c) + (m_pad // bm) * 2 * (c * two_f + hidden * c),
+            transcendentals=m * hidden,
+        ),
+        interpret=interpret,
+    )(
+        xf,
+        ln_scale.reshape(1, c),
+        ln_bias.reshape(1, c),
+        w1, w1,
+        b1.reshape(1, two_f), b1.reshape(1, two_f),
+        w2,
+        b2.reshape(1, c),
+    )
+    return out[:m].reshape(orig_shape)
+
+
 def _ln_ff_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m: int, interpret: bool):
     if not _HAS_PLTPU:  # pragma: no cover — exotic CPU-only builds
         raise RuntimeError("pallas TPU memory spaces unavailable; use impl='xla'")
@@ -150,17 +241,25 @@ def _ln_ff_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m: int, interpr
     return out[:m].reshape(orig_shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _ln_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret):
+def _ln_ff_route(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f, interpret):
+    if block_f > 0:
+        return _ln_ff_wide_impl(
+            x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f, interpret
+        )
     return _ln_ff_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret)
 
 
-def _ln_ff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret):
-    out = _ln_ff_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _ln_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f, interpret):
+    return _ln_ff_route(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f, interpret)
+
+
+def _ln_ff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f, interpret):
+    out = _ln_ff_route(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f, interpret)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
-def _ln_ff_bwd(eps, block_m, interpret, res, g):
+def _ln_ff_bwd(eps, block_m, block_f, interpret, res, g):
     _, vjp = jax.vjp(lambda *a: ln_geglu_ff_xla(*a, eps=eps), *res)
     return vjp(g)
 
@@ -178,12 +277,42 @@ def fused_ln_geglu_ff(
     b2: jax.Array,
     eps: float = 1e-5,
     block_m: int = 256,
+    block_f: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas fused x + GEGLU_FF(LayerNorm(x)). One HBM read of x, one
     write of y — the LN round trip, the 2F-wide projection, the gated
-    activation, and the residual add all stay in VMEM."""
-    return _ln_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, interpret)
+    activation, and the residual add all stay in VMEM. block_f > 0 selects
+    the wide-C variant (hidden dim tiled, weights streamed)."""
+    return _ln_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f, interpret)
+
+
+def ff_block_plan(m: int, c: int, mult: int, itemsize: int):
+    """Dispatch plan for the fused FF sub-layer at [M, C] tokens.
+
+    Returns (block_m, block_f) — block_f 0 = weights-resident narrow
+    kernel — or None when the XLA path should keep the site. The wide
+    variant re-fetches the full W1/W2 per ROW block, so it must clear a
+    traffic test: weight re-reads < intermediate bytes the fusion saves
+    (conservatively the gated [M, 4C] write+read the XLA path pays)."""
+    two_f = 2 * mult * c
+    if _fits_vmem(c, two_f, 256, itemsize):
+        return 256, 0
+    hidden = mult * c
+    block_f = 512 if hidden % 512 == 0 else (256 if hidden % 256 == 0 else 0)
+    if block_f == 0:
+        return None
+    block_m = 512 if c <= 640 else 256
+    row_blocks = max(1, (m + block_m - 1) // block_m)
+    weight_refetch = row_blocks * (c * two_f + hidden * c) * itemsize
+    # what the XLA path writes+reads between its two dots: the [M, 2F]
+    # projection and the [M, F] gated activation (XLA may fuse the gate
+    # into the first dot's epilogue and halve this — the on-chip A/B is
+    # the arbiter; this plan only has to be roughly right)
+    saved = 2 * m * (two_f + hidden) * itemsize
+    if weight_refetch < saved:
+        return block_m, block_f
+    return None
 
 
 def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, hidden: int):

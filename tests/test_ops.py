@@ -424,3 +424,41 @@ class TestFusedLNGEGLUBlock:
         g = jax.grad(lambda pp: jnp.sum(mod.apply(pp, x) ** 2))(p)
         for leaf in jax.tree.leaves(g):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestWideLNGEGLU:
+    """F-tiled wide-C variant of the fused LN+FF block kernel."""
+
+    @pytest.mark.parametrize("m,c,bf", [(96, 128, 256), (64, 320, 256), (64, 256, 512)])
+    def test_matches_xla(self, m, c, bf):
+        from emox.ops.ff import fused_ln_geglu_ff, ln_geglu_ff_xla
+
+        t = TestFusedLNGEGLUBlock()
+        args = t._args(m, c)
+        out = fused_ln_geglu_ff(*args, block_m=64, block_f=bf, interpret=True)
+        ref = ln_geglu_ff_xla(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_grad_matches_xla(self):
+        from emox.ops.ff import fused_ln_geglu_ff, ln_geglu_ff_xla
+
+        t = TestFusedLNGEGLUBlock()
+        args = t._args(64, 128)
+        loss = lambda f: lambda *a: jnp.sum(f(*a) ** 2)
+        gf = jax.grad(loss(lambda *a: fused_ln_geglu_ff(*a, block_m=32, block_f=128, interpret=True)),
+                      argnums=tuple(range(7)))(*args)
+        gr = jax.grad(loss(ln_geglu_ff_xla), argnums=tuple(range(7)))(*args)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
+
+    def test_plan(self):
+        from emox.ops.ff import ff_block_plan
+
+        # C=320 level-0: narrow, weights resident
+        assert ff_block_plan(16384, 320, 4, 2) == (256, 0)
+        # C=640 with many tokens: wide wins the traffic test
+        bm, bf = ff_block_plan(16384, 640, 4, 2)
+        assert bf > 0 and (640 * 4) % bf == 0
+        # C=1280 mid-block with few tokens: weight refetch outweighs the
+        # intermediate saving -> XLA keeps the site
+        assert ff_block_plan(256, 1280, 4, 2) is None
