@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -133,7 +134,39 @@ def _budget_left(budget_s: float) -> float:
     return budget_s - (time.time() - T_START)
 
 
+def _wait_for_backend(wait_s: float) -> None:
+    """Ride out a tunnel outage BEFORE touching jax in this process.
+
+    A backend-init failure inside this process is cached for its lifetime,
+    and during an outage `jax.devices()` HANGS (~25 min) rather than
+    failing fast — so probe in short-lived subprocesses with a hard
+    timeout and only proceed once one succeeds (or the wait budget is
+    spent, leaving the old two-attempt behaviour as the last resort)."""
+    deadline = time.time() + wait_s
+    probe = [sys.executable, "-c", "import jax; jax.devices()"]
+    while True:
+        try:
+            if subprocess.run(probe, timeout=120, capture_output=True).returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return
+        time.sleep(60)
+
+
 def main() -> None:
+    global T_START
+    wait_s = float(os.environ.get("EMOX_BENCH_WAIT", "1800"))
+    if (
+        wait_s > 0
+        and not os.environ.get("EMOX_BENCH_REEXEC")
+        and os.environ.get("JAX_PLATFORMS", "") != "cpu"
+        and "jax" not in sys.modules  # in-process CPU validation runs
+    ):
+        _wait_for_backend(wait_s)
+        T_START = time.time()  # the outage wait must not eat the extras budget
+
     import jax
 
     preset = os.environ.get("EMOX_BENCH_PRESET", "flagship")
