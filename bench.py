@@ -145,25 +145,36 @@ def _wait_for_backend(wait_s: float) -> None:
     deadline = time.time() + wait_s
     probe = [sys.executable, "-c", "import jax; jax.devices()"]
     while True:
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return
         try:
-            if subprocess.run(probe, timeout=120, capture_output=True).returncode == 0:
+            if subprocess.run(
+                probe, timeout=min(120, max(10, remaining)), capture_output=True
+            ).returncode == 0:
                 return
         except subprocess.TimeoutExpired:
             pass
-        if time.time() > deadline:
+        remaining = deadline - time.time()
+        if remaining <= 0:
             return
-        time.sleep(60)
+        time.sleep(min(60, remaining))
 
 
 def main() -> None:
     global T_START
     wait_s = float(os.environ.get("EMOX_BENCH_WAIT", "1800"))
-    if (
-        wait_s > 0
-        and not os.environ.get("EMOX_BENCH_REEXEC")
-        and os.environ.get("JAX_PLATFORMS", "") != "cpu"
-        and "jax" not in sys.modules  # in-process CPU validation runs
-    ):
+    # In-process CPU validation runs configure jax for cpu before calling
+    # main(); the axon sitecustomize pre-imports jax on every interpreter,
+    # so "jax in sys.modules" says nothing — inspect its configured
+    # platforms instead (import != backend init, so this is hang-safe).
+    cpu_forced = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    if not cpu_forced and "jax" in sys.modules:
+        try:
+            cpu_forced = "cpu" in str(sys.modules["jax"].config.jax_platforms or "")
+        except Exception:
+            pass
+    if wait_s > 0 and not os.environ.get("EMOX_BENCH_REEXEC") and not cpu_forced:
         _wait_for_backend(wait_s)
         T_START = time.time()  # the outage wait must not eat the extras budget
 

@@ -412,7 +412,10 @@ def cmd_eval(args) -> int:
                 pooled = jax.image.resize(lat, (lat.shape[0], 4, 4, lat.shape[-1]), "linear")
                 return pooled.reshape(lat.shape[0], -1)
 
-            metrics["latent_frechet"] = float(frechet_distance(enc(gen), enc(gt)))
+            if len(gen) >= 2 and len(gt) >= 2:
+                metrics["latent_frechet"] = float(frechet_distance(enc(gen), enc(gt)))
+            else:
+                print("NOTE: latent_frechet needs >= 2 frames per set; skipping")
 
     line = json.dumps({k: round(v, 6) for k, v in metrics.items()})
     print(line)

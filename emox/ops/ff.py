@@ -145,14 +145,7 @@ def _ln_ff_wide_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m, block_f
     hidden = two_f // 2
     assert hidden % block_f == 0, (hidden, block_f)
     num_j = hidden // block_f
-    m = 1
-    for d in orig_shape[:-1]:
-        m *= d
-    xf = x.reshape(m, c)
-    bm = min(block_m, max(8, ((m + 7) // 8) * 8))
-    m_pad = ((m + bm - 1) // bm) * bm
-    if m_pad != m:
-        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    xf, m, m_pad, bm = _flatten_pad(x, block_m)
     mem = dict(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_ln_ff_wide_kernel, eps=eps),
@@ -199,14 +192,7 @@ def _ln_ff_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, block_m: int, interpr
     c = x.shape[-1]
     two_f = w1.shape[-1]
     hidden = two_f // 2
-    m = 1
-    for d in orig_shape[:-1]:
-        m *= d
-    xf = x.reshape(m, c)
-    bm = min(block_m, max(8, ((m + 7) // 8) * 8))
-    m_pad = ((m + bm - 1) // bm) * bm
-    if m_pad != m:
-        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    xf, m, m_pad, bm = _flatten_pad(x, block_m)
     mem = dict(memory_space=pltpu.VMEM)
     const2 = lambda i: (0, 0)
     out = pl.pallas_call(
@@ -326,6 +312,23 @@ def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, hidden: int):
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _flatten_pad(x: jax.Array, block_m: int):
+    """Flatten leading dims to rows and pad to a block_m multiple.
+
+    Returns (xf [m_pad, C], m, m_pad, bm) — the shared prologue of every
+    FF kernel wrapper (padded rows produce garbage that is sliced away)."""
+    c = x.shape[-1]
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    xf = x.reshape(m, c)
+    bm = min(block_m, max(8, ((m + 7) // 8) * 8))
+    m_pad = ((m + bm - 1) // bm) * bm
+    if m_pad != m:
+        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    return xf, m, m_pad, bm
+
+
 def _ff_impl(x, w1, b1, w2, b2, block_m: int, interpret: bool) -> jax.Array:
     if not _HAS_PLTPU:  # pragma: no cover — exotic CPU-only builds
         raise RuntimeError("pallas TPU memory spaces unavailable; use impl='xla'")
@@ -333,14 +336,7 @@ def _ff_impl(x, w1, b1, w2, b2, block_m: int, interpret: bool) -> jax.Array:
     c = x.shape[-1]
     two_f = w1.shape[-1]
     hidden = two_f // 2
-    m = 1
-    for d in orig_shape[:-1]:
-        m *= d
-    xf = x.reshape(m, c)
-    bm = min(block_m, max(8, ((m + 7) // 8) * 8))
-    m_pad = ((m + bm - 1) // bm) * bm
-    if m_pad != m:
-        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    xf, m, m_pad, bm = _flatten_pad(x, block_m)
     mem = dict(memory_space=pltpu.VMEM)
     const2 = lambda i: (0, 0)
     out = pl.pallas_call(
@@ -443,8 +439,16 @@ def geglu_ff(
     (EMOX_FF_IMPL, else the measured default).
     """
     impl = impl or _default_impl()
-    if impl == "auto":
-        impl = "fused" if _fits_vmem(x.shape[-1], w1.shape[-1], 256, x.dtype.itemsize) else "xla"
+    if impl in ("auto", "fused") and not _fits_vmem(
+        x.shape[-1], w1.shape[-1], 256, x.dtype.itemsize
+    ):
+        # even a FORCED "fused" must bail to XLA where the weights-resident
+        # kernel cannot fit VMEM (e.g. the C=1280 mid-block sites under a
+        # process-wide EMOX_FF_IMPL=fused) — forcing an impossible layout
+        # would be a guaranteed Mosaic scoped-vmem compile error
+        impl = "xla"
+    elif impl in ("auto", "fused"):
+        impl = "fused"
     if impl == "fused":
         # compiled pallas needs a TPU; interpret keeps CPU (tests, eager
         # init) working under a process-wide EMOX_FF_IMPL

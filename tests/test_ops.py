@@ -462,3 +462,21 @@ class TestWideLNGEGLU:
         # C=1280 mid-block with few tokens: weight refetch outweighs the
         # intermediate saving -> XLA keeps the site
         assert ff_block_plan(256, 1280, 4, 2) is None
+
+
+def test_forced_fused_bails_to_xla_when_unfittable():
+    """EMOX_FF_IMPL=fused on a C=1280 site must not hand Mosaic an
+    impossible weights-resident layout — it falls back to XLA."""
+    from emox.ops import ff
+
+    c = 1280
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (1, 8, c), jnp.float32) * 0.3
+    w1 = jax.random.normal(ks[1], (c, 8 * c)) * 0.01
+    b1 = jnp.zeros((8 * c,))
+    w2 = jax.random.normal(ks[2], (4 * c, c)) * 0.01
+    b2 = jnp.zeros((c,))
+    out = ff.geglu_ff(x, w1, b1, w2, b2, impl="fused")  # would OOM VMEM if forced
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ff.geglu_ff_xla(x, w1, b1, w2, b2)), rtol=1e-6
+    )
