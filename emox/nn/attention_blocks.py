@@ -95,6 +95,7 @@ class Attention(nn.Module):
         extra_tile: int = 1,
         extra_drop: Optional[jax.Array] = None,
         context_tile: int = 1,
+        qkv: Optional[tuple] = None,
     ) -> jax.Array:
         """extra_kv tokens are projected ONCE and then repeated extra_tile x
         along the batch axis — reference-image tokens are identical for
@@ -114,7 +115,15 @@ class Attention(nn.Module):
         to_q = dense(inner, "to_q")
         to_k = dense(inner, "to_k")
         to_v = dense(inner, "to_v")
-        if context is None and _fused_qkv_enabled():
+        if qkv is not None:
+            # projections computed upstream (fused LN+QKV kernel) — create
+            # the Dense params anyway (dead one-token calls) so the param
+            # tree and the extra_kv projections below are unchanged
+            assert context is None, "qkv bypass is a self-attention path"
+            for d in (to_q, to_k, to_v):
+                _ = d(x[..., :1, :])
+            q, k, v = qkv
+        elif context is None and _fused_qkv_enabled():
             # self-attention: q/k/v all read x — one matmul over the
             # column-concatenated kernels reads x once instead of three
             # times (columnwise-independent, exactly the separate dots).
@@ -194,6 +203,36 @@ class GEGLUFeedForward(nn.Module):
         return d2(h)
 
 
+def _maybe_ln_qkv(parent, attn_mod, ln_name: str, x: jax.Array, normed: jax.Array,
+                  inner: int, has_bias: bool, dtype):
+    """Optional fused LayerNorm + q/k/v projection (EMOX_LN_QKV=1).
+
+    Returns (q, k, v) from emox.ops.fused_ln_qkv — computed from the RAW x,
+    so when the separately-returned LN output (the writer bank) is unused
+    XLA dead-code-eliminates the whole LN round trip — or None when
+    disabled, biased, or not VMEM-plannable. attn_mod is tiny-called on the
+    normed tokens first so its params exist unchanged."""
+    from emox.ops.ff import _ln_qkv_enabled, _on_tpu, fused_ln_qkv, ln_qkv_plan
+
+    if not _ln_qkv_enabled() or has_bias:
+        return None
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    bm = ln_qkv_plan(m, x.shape[-1], inner, jnp.dtype(dtype).itemsize)
+    if bm is None:
+        return None
+    _ = attn_mod(normed[..., :1, :])  # create params; dead one-token compute
+    p = parent.variables["params"]
+    lnp, ap = p[ln_name], p[attn_mod.name]
+    cast = lambda a: a.astype(dtype)
+    return fused_ln_qkv(
+        x.astype(dtype), lnp["scale"], lnp["bias"],
+        cast(ap["to_q"]["kernel"]), cast(ap["to_k"]["kernel"]), cast(ap["to_v"]["kernel"]),
+        eps=1e-5, block_m=bm, interpret=not _on_tpu(),
+    )
+
+
 def _ff_sublayer(parent: nn.Module, ln_mod: nn.Module, ff_mod: "GEGLUFeedForward", x: jax.Array) -> jax.Array:
     """x + FF(LN(x)) — routed through the fused LN+GEGLU+residual block
     kernel (emox.ops.fused_ln_geglu_ff) when the FF impl resolves to the
@@ -263,6 +302,12 @@ class TransformerBlock(nn.Module):
         # frames' normed tokens (first + previous), not this frame's
         # (reference magicanimate/models/attention.py SparseCausalAttention2D)
         sc_kv = sc_gather(normed1) if sc_gather is not None else None
+        a1 = attn("attn1")
+        qkv1 = None
+        if sc_kv is None:
+            qkv1 = _maybe_ln_qkv(
+                self, a1, "norm1", x, normed1, self.heads * self.head_dim, False, self.dtype
+            )
         if ref_kv is not None and ref_drop is not None and sc_kv is None:
             # True "no reference" rows (CFG uncond half / training ref
             # dropout): Attention substitutes the row's OWN projected tokens
@@ -271,20 +316,19 @@ class TransformerBlock(nn.Module):
             # bank masking (reference mutual_self_attention.py:243-255)
             # without a second program. Ref tokens are projected once and
             # frame-repeated AFTER projection (see Attention docstring).
-            x = x + attn("attn1")(
-                normed1, extra_kv=ref_kv, extra_tile=ref_tile, extra_drop=ref_drop
+            x = x + a1(
+                normed1, extra_kv=ref_kv, extra_tile=ref_tile, extra_drop=ref_drop, qkv=qkv1
             )
         elif ref_kv is not None and ref_drop is not None:
             # sparse-causal K/V base is [first, prev] tokens, whose length
             # differs from the ref bank, so the duplication trick above
             # cannot express "no reference" — run both branches and select
             # per row (exact, paid only in the rare sc+ref-dropout combo)
-            a1 = attn("attn1")
             with_ref = a1(normed1, context=sc_kv, extra_kv=ref_kv, extra_tile=ref_tile)
             without = a1(normed1, context=sc_kv)
             x = x + jnp.where(ref_drop[:, None, None], without, with_ref)
         else:
-            x = x + attn("attn1")(normed1, context=sc_kv, extra_kv=ref_kv, extra_tile=ref_tile)
+            x = x + a1(normed1, context=sc_kv, extra_kv=ref_kv, extra_tile=ref_tile, qkv=qkv1)
         if self.use_cross and context is not None:
             x = x + attn("attn2")(ln("norm2")(x), context=context, context_tile=ctx_tile)
         x = _ff_sublayer(
@@ -376,14 +420,20 @@ class FrameAxisAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:  # [B, T, L, C]
+    def __call__(self, x: jax.Array, qkv: Optional[tuple] = None) -> jax.Array:  # [B, T, L, C]
         b, t, l, c = x.shape
         inner = self.heads * self.head_dim
         dense = lambda name: nn.Dense(
             inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         split = lambda y: y.reshape(b, t, l, self.heads, self.head_dim)
-        if _fused_qkv_enabled():
+        if qkv is not None:
+            # projections from the fused LN+QKV kernel; params still owned
+            # by the Dense submodules (dead one-token calls)
+            for name in ("to_q", "to_k", "to_v"):
+                _ = dense(name)(x[..., :1, :])
+            q, k, v = (split(t_) for t_ in qkv)
+        elif _fused_qkv_enabled():
             q, k, v = _fused_qkv_apply(
                 self, (dense("to_q"), dense("to_k"), dense("to_v")), x, inner, False, self.dtype
             )
@@ -439,7 +489,11 @@ class TemporalTransformer(nn.Module):
                 self.heads, self.head_dim, ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attn_{i}"
             )
-            tokens = tokens + attn(ln(tokens))
+            normed = ln(tokens)
+            qkv = _maybe_ln_qkv(
+                self, attn, f"norm_{i}", tokens, normed, self.heads * self.head_dim, False, self.dtype
+            )
+            tokens = tokens + attn(normed, qkv=qkv)
             lnf = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm_ff_{i}")
             tokens = _ff_sublayer(
                 self, lnf,

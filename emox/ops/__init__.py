@@ -18,9 +18,11 @@ from emox.ops.attention import (
 from emox.ops.ff import (
     fused_geglu_ff,
     fused_ln_geglu_ff,
+    fused_ln_qkv,
     geglu_ff,
     geglu_ff_xla,
     ln_geglu_ff_xla,
+    ln_qkv_xla,
 )
 from emox.ops.groupnorm import group_norm, group_norm_silu
 
@@ -29,7 +31,9 @@ __all__ = [
     "geglu_ff_xla",
     "fused_geglu_ff",
     "fused_ln_geglu_ff",
+    "fused_ln_qkv",
     "ln_geglu_ff_xla",
+    "ln_qkv_xla",
     "dot_product_attention",
     "dot_product_attention_nlc",
     "attention_xla",

@@ -301,6 +301,120 @@ def ff_block_plan(m: int, c: int, mult: int, itemsize: int):
     return None
 
 
+def ln_qkv_xla(x, ln_scale, ln_bias, wq, wk, wv, eps: float = 1e-5):
+    """(LN(x) @ wq, @ wk, @ wv) — XLA reference and VJP recompute target
+    for the fused LN+QKV kernel. fp32 statistics, matmuls in x.dtype
+    (bias-free: SD UNet self-attention projections have no bias)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    return jnp.dot(xn, wq), jnp.dot(xn, wk), jnp.dot(xn, wv)
+
+
+def _ln_qkv_kernel(x_ref, g_ref, bt_ref, wq_ref, wk_ref, wv_ref, oq_ref, ok_ref, ov_ref, *, eps: float):
+    xf = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    oq_ref[:] = jnp.dot(xn, wq_ref[:], preferred_element_type=jnp.float32).astype(oq_ref.dtype)
+    ok_ref[:] = jnp.dot(xn, wk_ref[:], preferred_element_type=jnp.float32).astype(ok_ref.dtype)
+    ov_ref[:] = jnp.dot(xn, wv_ref[:], preferred_element_type=jnp.float32).astype(ov_ref.dtype)
+
+
+def _ln_qkv_impl(x, ln_scale, ln_bias, wq, wk, wv, eps, block_m, interpret):
+    if not _HAS_PLTPU:  # pragma: no cover
+        raise RuntimeError("pallas TPU memory spaces unavailable; use impl='xla'")
+    c = x.shape[-1]
+    inner = wq.shape[-1]
+    xf, m, m_pad, bm = _flatten_pad(x, block_m)
+    mem = dict(memory_space=pltpu.VMEM)
+    const2 = lambda i: (0, 0)
+    row = pl.BlockSpec((bm, inner), lambda i: (i, 0), **mem)
+    outs = pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, eps=eps),
+        out_shape=tuple(jax.ShapeDtypeStruct((m_pad, inner), x.dtype) for _ in range(3)),
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0), **mem),
+            pl.BlockSpec((1, c), const2, **mem),
+            pl.BlockSpec((1, c), const2, **mem),
+            pl.BlockSpec((c, inner), const2, **mem),
+            pl.BlockSpec((c, inner), const2, **mem),
+            pl.BlockSpec((c, inner), const2, **mem),
+        ],
+        out_specs=(row, row, row),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * m * c * inner + 10 * m * c,
+            bytes_accessed=2 * (m * c + 3 * m * inner + 3 * c * inner),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xf, ln_scale.reshape(1, c), ln_bias.reshape(1, c), wq, wk, wv)
+    shape = x.shape[:-1] + (inner,)
+    return tuple(o[:m].reshape(shape) for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _ln_qkv(x, ln_scale, ln_bias, wq, wk, wv, eps, block_m, interpret):
+    return _ln_qkv_impl(x, ln_scale, ln_bias, wq, wk, wv, eps, block_m, interpret)
+
+
+def _ln_qkv_fwd(x, ln_scale, ln_bias, wq, wk, wv, eps, block_m, interpret):
+    out = _ln_qkv_impl(x, ln_scale, ln_bias, wq, wk, wv, eps, block_m, interpret)
+    return out, (x, ln_scale, ln_bias, wq, wk, wv)
+
+
+def _ln_qkv_bwd(eps, block_m, interpret, res, g):
+    _, vjp = jax.vjp(lambda *a: ln_qkv_xla(*a, eps=eps), *res)
+    return vjp(g)
+
+
+_ln_qkv.defvjp(_ln_qkv_fwd, _ln_qkv_bwd)
+
+
+def fused_ln_qkv(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wq: jax.Array,
+    wk: jax.Array,
+    wv: jax.Array,
+    eps: float = 1e-5,
+    block_m: int = 256,
+    interpret: bool = False,
+):
+    """Pallas fused LayerNorm + bias-free q/k/v projections -> (q, k, v).
+
+    One HBM read of x replaces the XLA path's LN write + (1-3) reads of
+    the normalized tokens by the projection dots; the three weight
+    matrices stay resident in VMEM. The normalized tokens themselves are
+    never materialised in HBM (when a caller ALSO needs them — the
+    writer's bank — it computes LN(x) separately; XLA DCEs that when the
+    bank is unused, which is every reader step)."""
+    return _ln_qkv(x, ln_scale, ln_bias, wq, wk, wv, eps, block_m, interpret)
+
+
+def ln_qkv_plan(m: int, c: int, inner: int, itemsize: int):
+    """block_m for the fused LN+QKV kernel, or None where it cannot fit
+    (3 weight matrices + the fp32 projection block must sit in ~11 MB)."""
+    for bm in (512, 256, 128):
+        weights = 3 * c * inner * itemsize
+        proj32 = 3 * bm * inner * 4
+        io = 2 * (bm * c + 3 * bm * inner) * itemsize
+        if weights + proj32 + io < 11 * 2**20:
+            return bm
+    return None
+
+
+def _ln_qkv_enabled() -> bool:
+    """Opt-in (EMOX_LN_QKV=1) — measured-default protocol, off until the
+    on-chip end-to-end A/B proves it."""
+    return os.environ.get("EMOX_LN_QKV", "") not in ("", "0")
+
+
 def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, hidden: int):
     x = x_ref[:]
     # [bm, 2F] fp32 on the MXU; the full projection lives only in VMEM

@@ -480,3 +480,85 @@ def test_forced_fused_bails_to_xla_when_unfittable():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ff.geglu_ff_xla(x, w1, b1, w2, b2)), rtol=1e-6
     )
+
+
+class TestFusedLNQKV:
+    """Fused LayerNorm + q/k/v projection kernel (EMOX_LN_QKV=1)."""
+
+    def _args(self, m, c, inner, seed=11):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+        x = jax.random.normal(ks[0], (2, m // 2, c)) * 0.5
+        gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+        beta = 0.05 * jax.random.normal(ks[2], (c,))
+        ws = [jax.random.normal(k, (c, inner)) * (c ** -0.5) for k in ks[3:]]
+        return (x, gamma, beta, *ws)
+
+    @pytest.mark.parametrize("m,c,inner", [(64, 64, 64), (128, 320, 320), (64, 128, 256)])
+    def test_matches_xla(self, m, c, inner):
+        from emox.ops.ff import fused_ln_qkv, ln_qkv_xla
+
+        args = self._args(m, c, inner)
+        outs = fused_ln_qkv(*args, interpret=True)
+        refs = ln_qkv_xla(*args)
+        for o, r in zip(outs, refs):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=2e-5, rtol=1e-5)
+
+    def test_grad_matches_xla(self):
+        from emox.ops.ff import fused_ln_qkv, ln_qkv_xla
+
+        args = self._args(64, 128, 128)
+        loss = lambda f: lambda *a: sum(jnp.sum(o ** 2) for o in f(*a))
+        gf = jax.grad(loss(lambda *a: fused_ln_qkv(*a, interpret=True)), argnums=tuple(range(6)))(*args)
+        gr = jax.grad(loss(ln_qkv_xla), argnums=tuple(range(6)))(*args)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
+
+    def test_plan(self):
+        from emox.ops.ff import ln_qkv_plan
+
+        assert ln_qkv_plan(16384, 320, 320, 2) is not None
+        assert ln_qkv_plan(16384, 640, 640, 2) is not None
+        assert ln_qkv_plan(256, 4096, 4096, 2) is None  # 3 x 32 MB of weights
+
+    def test_transformer_block_parity(self, monkeypatch):
+        """TransformerBlock with EMOX_LN_QKV=1 matches the plain path on
+        the same params — incl. the ref-K/V + per-row-dropout branch."""
+        from emox.nn.attention_blocks import TransformerBlock
+
+        x = jax.random.normal(jax.random.PRNGKey(12), (4, 24, 64)) * 0.4
+        ref_kv = jax.random.normal(jax.random.PRNGKey(13), (2, 24, 64)) * 0.4  # Lr == L (duplication-trick contract)
+        drop = jnp.asarray([True, False, False, True])
+        mod = TransformerBlock(heads=2, head_dim=32, use_cross=False)
+        monkeypatch.delenv("EMOX_LN_QKV", raising=False)
+        p = mod.init(jax.random.PRNGKey(14), x)
+        out_plain, bank_p = mod.apply(p, x, ref_kv=ref_kv, ref_drop=drop, ref_tile=2)
+        monkeypatch.setenv("EMOX_LN_QKV", "1")
+        p_f = mod.init(jax.random.PRNGKey(14), x)
+        assert jax.tree.structure(p) == jax.tree.structure(p_f)
+        out_fused, bank_f = mod.apply(p, x, ref_kv=ref_kv, ref_drop=drop, ref_tile=2)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain), atol=5e-5, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bank_f), np.asarray(bank_p))
+
+    def test_temporal_transformer_parity_and_grads(self, monkeypatch):
+        from emox.nn.attention_blocks import TemporalTransformer
+
+        x = jax.random.normal(jax.random.PRNGKey(15), (1, 4, 6, 6, 64)) * 0.4
+        mod = TemporalTransformer(heads=2, head_dim=32)
+        monkeypatch.delenv("EMOX_LN_QKV", raising=False)
+        p = mod.init(jax.random.PRNGKey(16), x)
+        out_plain = mod.apply(p, x)
+        monkeypatch.setenv("EMOX_LN_QKV", "1")
+        out_fused = mod.apply(p, x)
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain), atol=5e-5, rtol=1e-4)
+        # proj_out is zero-init (identity module), which makes every grad
+        # through the attention branch legitimately zero — perturb it so the
+        # kernel's custom_vjp actually carries gradient
+        import flax
+        p2 = flax.core.unfreeze(p)
+        p2["params"]["proj_out"]["kernel"] = (
+            jax.random.normal(jax.random.PRNGKey(17), p["params"]["proj_out"]["kernel"].shape) * 0.1
+        )
+        g = jax.grad(lambda pp: jnp.sum(mod.apply(pp, x) ** 2))(p2)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert float(jnp.max(jnp.abs(g["params"]["attn_0"]["to_q"]["kernel"]))) > 0
