@@ -359,7 +359,17 @@ class Trainer:
                 tracing = False
             batch = next(it)
             key, sub = jax.random.split(key)
-            self.state, metrics = self._train_step(self.state, batch, sub)
+            if step == start:
+                # first step pays the trace+compile (minutes cold for the
+                # flagship through the axon compile helper) — surface it as
+                # a first-class metric instead of letting it hide inside
+                # the first logged step-time (VERDICT r2 weak #7)
+                t0 = time.time()
+                self.state, metrics = self._train_step(self.state, batch, sub)
+                jax.block_until_ready(metrics["loss"])
+                self.logger.log(step + 1, {"compile_s": round(time.time() - t0, 2)})
+            else:
+                self.state, metrics = self._train_step(self.state, batch, sub)
             if (step + 1) % tc.log_every == 0 or step + 1 == num_steps:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 self.logger.log(step + 1, metrics)
