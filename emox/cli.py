@@ -196,7 +196,7 @@ def cmd_infer(args) -> int:
     import jax.numpy as jnp
 
     from emox.infer.pipeline import EMOPipeline
-    from emox.infer.video_io import save_video
+    from emox.infer.video_io import save_video, save_videos_grid
     from emox.models.emo import EMOModel
     from emox.train.trainer import Checkpointer
 
@@ -243,10 +243,23 @@ def cmd_infer(args) -> int:
             print("NOTE: no CLIP vocab file (--vocab/EMOX_CLIP_VOCAB); using "
                   "byte-level fallback tokenization")
 
+    n = max(1, args.grid)
+    if n > 1:
+        # N samples in one batched program: the init latents carry the
+        # batch axis, so each row draws its own noise — N distinct samples
+        ref = np.repeat(ref[None], n, axis=0)
+        wav_b = np.repeat(wav[None], n, axis=0)
+        if face_mask is not None:
+            face_mask = jnp.repeat(face_mask, n, axis=0)
+        if speeds is not None:
+            speeds = jnp.repeat(speeds, n, axis=0)
+    else:
+        ref, wav_b = ref[None], wav[None]
+
     pipe = EMOPipeline(model, cfg)
     if total > cfg.inference.context_frames and args.autoregressive:
         frames = pipe.generate_long(
-            params, jnp.asarray(ref[None]), jnp.asarray(wav[None]), total_frames=total,
+            params, jnp.asarray(ref), jnp.asarray(wav_b), total_frames=total,
             segment_length=cfg.inference.context_frames,
             num_inference_steps=args.steps, guidance_scale=args.guidance,
             speeds=speeds, face_mask=face_mask,
@@ -255,13 +268,18 @@ def cmd_infer(args) -> int:
         )
     else:
         frames = pipe(
-            params, jnp.asarray(ref[None]), jnp.asarray(wav[None]), video_length=total,
+            params, jnp.asarray(ref), jnp.asarray(wav_b), video_length=total,
             num_inference_steps=args.steps, guidance_scale=args.guidance, face_mask=face_mask,
             speeds=speeds, prompt=args.prompt, negative_prompt=args.negative_prompt,
             tokenizer=tokenizer, use_identity=args.identity,
         )
-    out = save_video(np.asarray(frames[0]), args.out, fps=fps, wav=wav, sample_rate=sr)
-    print(f"wrote {out} ({total} frames @ {fps} fps)")
+    if n > 1:
+        # tiled multi-sample grid (reference util.py:21-33 save_videos_grid)
+        out = save_videos_grid(np.asarray(frames), args.out, fps=fps)
+        print(f"wrote {out} ({n}-sample grid, {total} frames @ {fps} fps)")
+    else:
+        out = save_video(np.asarray(frames[0]), args.out, fps=fps, wav=wav, sample_rate=sr)
+        print(f"wrote {out} ({total} frames @ {fps} fps)")
     return 0
 
 
@@ -322,11 +340,15 @@ def cmd_train_face(args) -> int:
     MediaPipe-replacement bootstrap, reference Net.py:861-1156)."""
     from emox.train.face_nets import save_face_nets, train_face_nets
 
+    import numpy as np
+
     params, metrics = train_face_nets(
         steps=args.steps, batch_size=args.batch_size, image_size=args.size,
         learning_rate=args.lr, seed=args.seed,
     )
-    path = save_face_nets(params, args.out) if args.out else save_face_nets(params)
+    dtype = np.float32 if args.fp32 else np.float16
+    kw = dict(dtype=dtype)
+    path = save_face_nets(params, args.out, **kw) if args.out else save_face_nets(params, **kw)
     print(json.dumps({"asset": path, **{k: round(v, 6) for k, v in metrics.items()}}))
     return 0
 
@@ -598,6 +620,9 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--steps", type=int, default=None)
     pi.add_argument("--guidance", type=float, default=None)
     pi.add_argument("--autoregressive", action="store_true")
+    pi.add_argument("--grid", type=int, default=1, metavar="N",
+                    help="sample N videos in one batch and write a tiled grid mp4 "
+                         "(reference save_videos_grid, util.py:21-33)")
     pi.add_argument("--face-mask", default=None, help="'auto' (FaceLocator) or mask image path")
     pi.add_argument("--speeds", default=None,
                     help="head-rotation speeds: .npy ([T] or [T,axes]) or comma floats per axis")
@@ -639,7 +664,11 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--size", type=int, default=128)
     pf.add_argument("--lr", type=float, default=2e-3)
     pf.add_argument("--seed", type=int, default=0)
-    pf.add_argument("--out", default=None, help="default: emox/assets/face_nets.npz")
+    pf.add_argument("--out", default=None,
+                    help="default: emox/assets/face_nets.npz (stored float16; "
+                         "pass --fp32 for full-precision storage)")
+    pf.add_argument("--fp32", action="store_true",
+                    help="store the asset in float32 instead of the default float16")
     pf.set_defaults(fn=cmd_train_face)
 
     pe = sub.add_parser("eval", help="quality metrics on a generated clip (PSNR/SSIM/flicker/sync/identity)")

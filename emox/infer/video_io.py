@@ -115,6 +115,34 @@ def save_video(frames: np.ndarray, path: str, fps: float = 25.0, wav: Optional[n
     return path
 
 
+def tile_video_grid(videos: np.ndarray, n_cols: int = 6, pad: int = 2, pad_value: float = -1.0) -> np.ndarray:
+    """[B, T, H, W, 3] batch of clips -> [T, Hg, Wg, 3] grid video (the
+    reference's save_videos_grid tiling, reference
+    magicanimate/utils/util.py:21-33 / torchvision make_grid semantics:
+    row-major, `pad` pixels of border between and around cells)."""
+    videos = np.asarray(videos)
+    if videos.ndim != 5:
+        raise ValueError(f"expected [B, T, H, W, C], got {videos.shape}")
+    b, t, h, w, c = videos.shape
+    cols = min(n_cols, b)
+    rows = (b + cols - 1) // cols
+    hg = rows * (h + pad) + pad
+    wg = cols * (w + pad) + pad
+    grid = np.full((t, hg, wg, c), pad_value, videos.dtype)
+    for i in range(b):
+        r, q = divmod(i, cols)
+        y = pad + r * (h + pad)
+        x = pad + q * (w + pad)
+        grid[:, y : y + h, x : x + w] = videos[i]
+    return grid
+
+
+def save_videos_grid(videos: np.ndarray, path: str, fps: float = 25.0, n_cols: int = 6) -> str:
+    """Batch of clips [B, T, H, W, 3] in [-1, 1] -> one tiled grid mp4
+    (capability parity with reference magicanimate/utils/util.py:21-33)."""
+    return save_video(tile_video_grid(videos, n_cols=n_cols), path, fps=fps)
+
+
 def _write_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
     import struct, wave
 

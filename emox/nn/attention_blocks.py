@@ -119,7 +119,8 @@ class Attention(nn.Module):
             # projections computed upstream (fused LN+QKV kernel) — create
             # the Dense params anyway (dead one-token calls) so the param
             # tree and the extra_kv projections below are unchanged
-            assert context is None, "qkv bypass is a self-attention path"
+            if context is not None:  # not assert: must survive python -O
+                raise ValueError("qkv bypass is a self-attention path (context must be None)")
             for d in (to_q, to_k, to_v):
                 _ = d(x[..., :1, :])
             q, k, v = qkv
@@ -146,6 +147,12 @@ class Attention(nn.Module):
                 ke = jnp.repeat(ke, extra_tile, axis=0)
                 ve = jnp.repeat(ve, extra_tile, axis=0)
             if extra_drop is not None:
+                if k.shape[1] != ke.shape[1]:
+                    raise ValueError(
+                        f"extra_drop's duplication uncond trick substitutes the row's own "
+                        f"projected tokens for the reference tokens, which requires equal "
+                        f"token counts: self tokens {k.shape[1]} != ref tokens {ke.shape[1]}"
+                    )
                 ke = jnp.where(extra_drop[:, None, None], k, ke)
                 ve = jnp.where(extra_drop[:, None, None], v, ve)
             k = jnp.concatenate([k, ke], axis=1)

@@ -46,6 +46,22 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+def _gelu_erf_kernel(x: jax.Array) -> jax.Array:
+    """Exact-erf gelu for INSIDE Pallas kernels: Mosaic has no erf/erfc
+    lowering (NotImplementedError on chip, observed on the r4 A/B), so erf
+    is evaluated via Abramowitz & Stegun 7.1.26 — max abs error 1.5e-7 in
+    fp32, two decades below the bf16 output granularity the kernels cast
+    to. XLA paths (and the VJP recompute targets) keep jax.nn.gelu's true
+    erf."""
+    z = x * 0.7071067811865476  # x / sqrt(2)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736) * t + 0.254829592
+    erf_abs = 1.0 - poly * t * jnp.exp(-az * az)
+    erf = jnp.sign(z) * erf_abs
+    return 0.5 * x * (1.0 + erf)
+
+
 def geglu_ff_xla(
     x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array
 ) -> jax.Array:
@@ -95,7 +111,7 @@ def _ln_ff_kernel(
     h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
     a, g = h[:, :hidden], h[:, hidden:]
-    hg = (a * jax.nn.gelu(g, approximate=False)).astype(x.dtype)
+    hg = (a * _gelu_erf_kernel(g)).astype(x.dtype)
     o = jnp.dot(hg, w2_ref[:], preferred_element_type=jnp.float32)
     o = o + b2_ref[:].astype(jnp.float32) + xf  # residual: x never re-read
     o_ref[:] = o.astype(o_ref.dtype)
@@ -127,7 +143,7 @@ def _ln_ff_wide_kernel(
     xn = xn_ref[:]
     a = jnp.dot(xn, w1v_ref[:], preferred_element_type=jnp.float32) + b1v_ref[:].astype(jnp.float32)
     g = jnp.dot(xn, w1g_ref[:], preferred_element_type=jnp.float32) + b1g_ref[:].astype(jnp.float32)
-    hg = (a * jax.nn.gelu(g, approximate=False)).astype(xn.dtype)
+    hg = (a * _gelu_erf_kernel(g)).astype(xn.dtype)
     acc_ref[:] += jnp.dot(hg, w2_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(j == num_j - 1)
@@ -296,9 +312,16 @@ def ff_block_plan(m: int, c: int, mult: int, itemsize: int):
     # into the first dot's epilogue and halve this — the on-chip A/B is
     # the arbiter; this plan only has to be roughly right)
     saved = 2 * m * (two_f + hidden) * itemsize
-    if weight_refetch < saved:
-        return block_m, block_f
-    return None
+    if weight_refetch >= saved:
+        return None
+    # VMEM fit (ADVICE r3): the traffic test alone let C=1280/bm=256/bf=512
+    # through at ~13 MB of scoped VMEM — a Mosaic compile error. Mirror
+    # _fits_vmem for the wide working set and shrink block_m until it fits.
+    while block_m >= 64 and not _wide_fits_vmem(c, block_f, block_m, itemsize):
+        block_m //= 2
+    if block_m < 64:
+        return None
+    return block_m, block_f
 
 
 def ln_qkv_xla(x, ln_scale, ln_bias, wq, wk, wv, eps: float = 1e-5):
@@ -421,7 +444,7 @@ def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, hidden: int):
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
     a, g = h[:, :hidden], h[:, hidden:]
-    hg = (a * jax.nn.gelu(g, approximate=False)).astype(x.dtype)
+    hg = (a * _gelu_erf_kernel(g)).astype(x.dtype)
     o = jnp.dot(hg, w2_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -520,6 +543,18 @@ def _fits_vmem(c: int, two_f: int, block_m: int, itemsize: int) -> bool:
     proj32 = block_m * two_f * 4
     io = 2 * 2 * block_m * c * itemsize
     return c <= _FUSED_MAX_C and (weights + proj32 + io) < 12 * 2**20
+
+
+def _wide_fits_vmem(c: int, block_f: int, block_m: int, itemsize: int) -> bool:
+    """Working set of one (i, j) grid cell of the wide (F-tiled) kernel:
+    double-buffered weight column blocks (W1 value + gate cols [C, bf] each
+    + W2 rows [bf, C]), the fp32 output accumulator [bm, C], the fp32 xn
+    scratch [bm, C], and double-buffered x/out row blocks."""
+    weights = 2 * 3 * c * block_f * itemsize  # x2 pipeline buffers
+    acc32 = block_m * c * 4
+    xn32 = block_m * c * 4
+    io = 2 * 2 * block_m * c * itemsize
+    return (weights + acc32 + xn32 + io) < 12 * 2**20
 
 
 def _on_tpu() -> bool:

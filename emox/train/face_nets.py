@@ -120,10 +120,14 @@ def train_face_nets(
     return params, metrics
 
 
-def save_face_nets(params: Dict, path: str = ASSET_PATH) -> str:
+def save_face_nets(params: Dict, path: str = ASSET_PATH, dtype=np.float16) -> str:
+    """Persist the face nets. NB: stored as float16 by default (halves the
+    committed asset; ~1e-3 relative rounding vs the trained fp32 params —
+    immaterial for mask/landmark heads). Pass dtype=np.float32 to keep
+    full precision; load_face_nets restores float32 either way."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     flat = _flatten({k: params[k] for k in ("face_locator", "landmarker")})
-    np.savez_compressed(path, **{k: v.astype(np.float16) for k, v in flat.items()})
+    np.savez_compressed(path, **{k: v.astype(dtype) for k, v in flat.items()})
     return path
 
 

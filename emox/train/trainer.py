@@ -366,7 +366,10 @@ class Trainer:
                 # the first logged step-time (VERDICT r2 weak #7)
                 t0 = time.time()
                 self.state, metrics = self._train_step(self.state, batch, sub)
-                jax.block_until_ready(metrics["loss"])
+                # sync via a host scalar fetch, not block_until_ready: over
+                # the axon tunnel block_until_ready returns before device
+                # execution finishes (the bench.py honest-timing protocol)
+                float(metrics["loss"])
                 self.logger.log(step + 1, {"compile_s": round(time.time() - t0, 2)})
             else:
                 self.state, metrics = self._train_step(self.state, batch, sub)

@@ -144,6 +144,40 @@ class TestEndToEnd:
         ]) == 0
         assert (tmp_path / "out.npz").exists()
 
+    def test_infer_grid_writes_tiled_batch(self, tmp_path):
+        """--grid N samples N clips in one batch and writes the tiled grid
+        mp4/npz (reference util.py:21-33 save_videos_grid)."""
+        import numpy as np
+        import yaml
+
+        from emox.cli import main
+
+        cfg = {
+            "vae": {"base_channels": 8, "channel_multipliers": [1, 2], "num_res_blocks": 1, "norm_groups": 4},
+            "model": {"base_channels": 8, "channel_multipliers": [1, 2], "layers_per_block": 1,
+                      "norm_groups": 4, "attention_head_dim": 4, "cross_attention_dim": 8,
+                      "attention_levels": [1], "audio_context_dim": 16},
+            "audio": {"hidden_dim": 16, "num_layers": 1, "num_heads": 2, "conv_dim": 8},
+            "inference": {"context_frames": 4, "video_length": 2, "width": 32, "height": 32,
+                          "num_inference_steps": 2, "guidance_scale": 1.0},
+        }
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        ref = str(tmp_path / "ref.npy")
+        np.save(ref, np.zeros((32, 32, 3), np.float32))
+        wav = str(tmp_path / "a.npy")
+        np.save(wav, np.zeros(16000, np.float32))
+        out = str(tmp_path / "grid.npz")
+        assert main([
+            "infer", "--config", cfg_path, "--ref-image", ref, "--audio", wav,
+            "--out", out, "--frames", "2", "--steps", "2", "--grid", "2",
+        ]) == 0
+        frames = np.load(out)["frames"]
+        # 2 samples, 1 col-row each 32px + 2px borders -> 2x1 grid... n_cols
+        # default 6 caps at batch: 1 row x 2 cols
+        assert frames.shape == (2, 32 + 4, 2 * 34 + 2, 3)
+
 
 class TestTrainDataWiring:
     def test_loader_reflects_data_config(self, tmp_path):

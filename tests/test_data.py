@@ -575,3 +575,32 @@ def test_bare_clip_gets_trained_masks_and_speeds(tmp_path):
     assert np.abs(out["pose_vel3"]).max() > 0
     # control renders written too (landmarks came from the trained net)
     assert "control" in out and out["control"].max() > 0.5
+
+
+class TestVideoGrid:
+    def test_tile_video_grid_layout(self):
+        from emox.infer.video_io import tile_video_grid
+
+        b, t, h, w = 5, 3, 8, 6
+        videos = np.stack([np.full((t, h, w, 3), i / 4.0, np.float32) for i in range(b)])
+        grid = tile_video_grid(videos, n_cols=3, pad=2, pad_value=-1.0)
+        # 5 clips in 3 cols -> 2 rows; borders of 2px between and around
+        assert grid.shape == (t, 2 * (h + 2) + 2, 3 * (w + 2) + 2, 3)
+        # cell (row 1, col 1) holds clip index 4
+        assert np.allclose(grid[:, 2 + (h + 2) : 2 + (h + 2) + h, 2 + (w + 2) : 2 + (w + 2) + w], 1.0)
+        # padding stays pad_value
+        assert np.allclose(grid[:, :2, :], -1.0)
+
+    def test_tile_rejects_wrong_rank(self):
+        from emox.infer.video_io import tile_video_grid
+
+        with pytest.raises(ValueError):
+            tile_video_grid(np.zeros((3, 8, 6, 3), np.float32))
+
+    def test_save_videos_grid_writes(self, tmp_path):
+        from emox.infer.video_io import save_videos_grid
+
+        videos = (np.random.default_rng(0).random((4, 2, 16, 16, 3)) * 2 - 1).astype(np.float32)
+        out = save_videos_grid(videos, str(tmp_path / "grid.npz"), fps=8.0, n_cols=2)
+        data = np.load(out)
+        assert data["frames"].shape == (2, 2 * 18 + 2, 2 * 18 + 2, 3)
