@@ -178,8 +178,9 @@ class GEGLUFeedForward(nn.Module):
     """
 
     mult: int = 4
-    # None = EMOX_FF_IMPL env, else the measured default ("xla" until the
-    # fused kernel wins an on-chip end-to-end A/B)
+    # None = EMOX_FF_IMPL env, else the measured default ("auto" on TPU —
+    # the fused path won the round-4 on-chip A/B, 25.70 vs 24.04 steps/s —
+    # "xla" on CPU)
     impl: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32

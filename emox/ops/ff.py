@@ -568,9 +568,11 @@ def _default_impl() -> str:
     env = os.environ.get("EMOX_FF_IMPL")
     if env:
         return env
-    # measured-default protocol: stays "xla" until an end-to-end on-chip
-    # A/B proves the fused kernel (EMOX_FF_IMPL=auto to opt in)
-    return "xla"
+    # measured default (round-4 on-chip A/B, docs/KERNELS.md): the fused
+    # weights-resident kernel wins end-to-end on TPU — 25.70 vs 24.04
+    # steps/s on the flagship headline (38.91 vs 41.60 ms/step). On CPU
+    # stay on XLA: "fused" there means interpret-mode pallas (tests only).
+    return "auto" if _on_tpu() else "xla"
 
 
 def geglu_ff(

@@ -31,6 +31,7 @@ VARIANTS = {
     "qkv": {"EMOX_FUSED_QKV": "1"},
     "lnqkv": {"EMOX_LN_QKV": "1"},
     "ff_lnqkv": {"EMOX_FF_IMPL": "auto", "EMOX_LN_QKV": "1"},
+    "ff_qkv": {"EMOX_FF_IMPL": "auto", "EMOX_FUSED_QKV": "1"},
 }
 
 

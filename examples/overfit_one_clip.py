@@ -93,13 +93,25 @@ def main() -> int:
     m2 = t2.fit(DataLoader(ds2, batch_size=1, seed=0), num_steps=args.steps)
     print(f"stage2 final loss {m2['loss']:.4f}")
 
+    # stage 3: speed/face refinement (masked face loss), init from stage 2
+    # (reference train_stage_3.py protocol — completes the 1->2->3 chain)
+    cfg3 = cfg.replace(train=dataclasses.replace(
+        cfg.train, stage=3, learning_rate=5e-4, face_loss_weight=0.5))
+    t3 = Trainer(cfg3, init_params=t2.state.params)
+    ds3 = EMODataset(cache, "stage3", num_frames=args.frames, ref_mode="first")
+    m3 = t3.fit(DataLoader(ds3, batch_size=1, seed=0), num_steps=args.steps)
+    print(f"stage3 final loss {m3['loss']:.4f}")
+
     # sample: first frame + the clip's own audio
     clip = dict(np.load(os.path.join(cache, "clip.npz")))
     ref = jnp.asarray(clip["frames"][0][None])
     sr = 16000
     wav = jnp.asarray(clip["wav"][: int(args.frames / 25.0 * sr)][None])
-    pipe = EMOPipeline(EMOModel(cfg2), cfg2)
-    frames = pipe(t2.state.params, ref, wav, video_length=args.frames)
+    pipe = EMOPipeline(EMOModel(cfg3), cfg3)
+    # "before" sample from random init — the eval table's untrained anchor
+    p0 = EMOModel(cfg3).init_params(jax.random.PRNGKey(7), num_frames=2, image_size=s)
+    frames0 = pipe(p0, ref, wav, video_length=args.frames)
+    frames = pipe(t3.state.params, ref, wav, video_length=args.frames)
     out = save_video(np.asarray(frames[0]), args.out, fps=25.0, wav=np.asarray(wav[0]))
     target = clip["frames"][: args.frames]
     mse = float(np.mean((np.asarray(frames[0]) - target) ** 2))
@@ -111,11 +123,16 @@ def main() -> int:
     # be meaningful — see emox.eval.audio_sync_score)
     from emox.eval import evaluate_clip
 
+    metrics0 = evaluate_clip(
+        np.asarray(frames0[0]), gt=target,
+        masks=clip["face_masks"][: args.frames], wav=clip["wav"],
+    )
     metrics = evaluate_clip(
         np.asarray(frames[0]), gt=target,
         masks=clip["face_masks"][: args.frames], wav=clip["wav"],
     )
-    print("eval:", {k: round(v, 4) for k, v in metrics.items()})
+    print("eval (random init):", {k: round(v, 4) for k, v in metrics0.items()})
+    print("eval (trained 1->2->3):", {k: round(v, 4) for k, v in metrics.items()})
     return 0
 
 
