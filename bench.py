@@ -53,7 +53,11 @@ import sys
 import time
 
 # persistent XLA compile cache: flagship programs cold-compile in minutes
-# through the axon compile helper; cached reruns start in seconds
+# through the axon compile helper; cached reruns start in seconds. NB the
+# env-var route does NOT work here (sitecustomize pre-imports jax before
+# any application code runs, freezing the config default) — _build calls
+# emox.core.compile_cache.enable_persistent_cache, which uses
+# jax.config.update and therefore applies regardless of import order.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/emox_tpu_cache")
 
 # the ceiling is anchored at the FIRST interpreter start: a re-exec (see
@@ -66,8 +70,11 @@ def _build(preset: str, image_size: int, num_frames: int):
     import jax
     import jax.numpy as jnp
 
+    from emox.core.compile_cache import enable_persistent_cache
     from emox.core.presets import PRESETS
     from emox.models.emo import EMOModel
+
+    enable_persistent_cache()
 
     cfg = PRESETS["flagship" if preset == "flagship512" else preset](
         image_size=image_size, num_frames=num_frames
@@ -144,6 +151,11 @@ def _measure_step_ms(model, args, iters: int):
     t_2n = loop(2 * iters)
     step_ms = (t_2n - t_n) / iters * 1e3
     naive_ms = t_2n / (2 * iters) * 1e3
+    if step_ms <= 0:
+        # sub-ms steps (tiny preset) or host contention can leave the
+        # cancellation in the noise; the naive loop is then the honest
+        # upper bound — never emit a negative rate
+        step_ms = naive_ms
     return step_ms, naive_ms
 
 

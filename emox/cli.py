@@ -694,6 +694,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    # persistent compile cache for every CLI entry (no-op on forced-CPU
+    # test runs; env vars alone don't work — see emox/core/compile_cache.py)
+    from emox.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     return args.fn(args)
 
 

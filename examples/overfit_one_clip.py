@@ -28,11 +28,22 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--out", default="overfit_sample.npz")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--preset", default="custom", choices=("custom", "tiny", "small"),
+        help="model scale: 'custom' = the inline dev config below; 'tiny'/'small' "
+        "= emox.core.presets at --size (the on-chip quality-loop protocol is "
+        "--preset small --size 256)",
+    )
+    ap.add_argument("--dtype", default=None, help="compute dtype override (e.g. bfloat16 on chip)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from emox.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from emox.core.config import (
         AudioConfig, Config, DataConfig, InferenceConfig, MeshConfig, ModelConfig, TrainConfig, VAEConfig,
@@ -59,26 +70,39 @@ def main() -> int:
     precompute_clip(src, os.path.join(cache, "clip.npz"), width=args.size, height=args.size)
 
     s = args.size
-    cfg = Config(
-        vae=VAEConfig(base_channels=16, channel_multipliers=(1, 2), num_res_blocks=1, norm_groups=8),
-        model=ModelConfig(
-            base_channels=16, channel_multipliers=(1, 2), layers_per_block=1, norm_groups=8,
-            attention_head_dim=8, cross_attention_dim=16, attention_levels=(1,),
-            audio_context_dim=32, use_cross_attention=False,
-        ),
-        audio=AudioConfig(hidden_dim=32, num_layers=1, num_heads=2, conv_dim=16),
-        mesh=MeshConfig(data=1, context=1, model=1),
-        data=DataConfig(width=s, height=s, num_frames=args.frames, batch_size=1, cache_dir=cache),
-        train=TrainConfig(
-            stage=1, num_steps=args.steps, learning_rate=2e-3, log_every=max(1, args.steps // 10),
-            checkpoint_every=args.steps, checkpoint_dir=os.path.join(work, "ckpt"),
-            compute_dtype="float32",
-        ),
-        inference=InferenceConfig(
-            context_frames=max(8, args.frames), video_length=args.frames, width=s, height=s,
-            num_inference_steps=20, guidance_scale=1.5,
-        ),
+    train_cfg = TrainConfig(
+        stage=1, num_steps=args.steps, learning_rate=2e-3, log_every=max(1, args.steps // 10),
+        checkpoint_every=args.steps, checkpoint_dir=os.path.join(work, "ckpt"),
+        compute_dtype=args.dtype or "float32",
     )
+    infer_cfg = InferenceConfig(
+        context_frames=max(8, args.frames), video_length=args.frames, width=s, height=s,
+        num_inference_steps=20, guidance_scale=1.5,
+    )
+    if args.preset != "custom":
+        from emox.core.presets import PRESETS
+
+        base = PRESETS[args.preset](image_size=s, num_frames=args.frames)
+        cfg = base.replace(
+            mesh=MeshConfig(data=1, context=1, model=1),
+            data=dataclasses.replace(base.data, batch_size=1, cache_dir=cache),
+            train=train_cfg,
+            inference=infer_cfg,
+        )
+    else:
+        cfg = Config(
+            vae=VAEConfig(base_channels=16, channel_multipliers=(1, 2), num_res_blocks=1, norm_groups=8),
+            model=ModelConfig(
+                base_channels=16, channel_multipliers=(1, 2), layers_per_block=1, norm_groups=8,
+                attention_head_dim=8, cross_attention_dim=16, attention_levels=(1,),
+                audio_context_dim=32, use_cross_attention=False,
+            ),
+            audio=AudioConfig(hidden_dim=32, num_layers=1, num_heads=2, conv_dim=16),
+            mesh=MeshConfig(data=1, context=1, model=1),
+            data=DataConfig(width=s, height=s, num_frames=args.frames, batch_size=1, cache_dir=cache),
+            train=train_cfg,
+            inference=infer_cfg,
+        )
 
     # stage 1: spatial denoising on single frames
     t1 = Trainer(cfg)

@@ -1,0 +1,133 @@
+"""Capture + bucket an xplane op profile of the flagship denoise step.
+
+The methodology behind BASELINE.md's "step op profile" rows: run the
+bench's exact step program N times under jax.profiler, then parse the
+xplane.pb device plane and bucket XLA op time by kind (fusion, reduce,
+custom-call/pallas, conv, copy, ...). This is the roofline accounting
+that decides which HBM bucket the next kernel should attack (reference
+point: the per-timestep loop at EMOAnimationPipeline.py:698-821).
+
+Usage (chip):   python examples/profile_step.py [--steps 3] [--preset flagship]
+Output: a bucket table (ms/step) + the top-20 individual ops, and the
+raw profile dir for xprof/tensorboard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _bucket(name: str) -> str:
+    n = name.lower()
+    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
+        return "pallas/custom-call"
+    if n.startswith("copy") or ".copy" in n or "copy-start" in n or "copy-done" in n:
+        return "copy"
+    if "convolution" in n or n.startswith("conv"):
+        return "conv"
+    if n.startswith("reduce") or "reduce." in n or ".reduce" in n:
+        return "reduce"
+    if n.startswith("dot") or "dot." in n:
+        return "dot"
+    if "dynamic-update-slice" in n or "dynamic-slice" in n:
+        return "dyn-slice"
+    if n.startswith("fusion") or ".fusion" in n or "fused" in n:
+        return "fusion"
+    if "all-reduce" in n or "all-gather" in n or "collective" in n or "permute" in n:
+        return "collective"
+    return "other"
+
+
+def parse_profile(logdir: str, steps: int) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        print("no xplane.pb found under", logdir)
+        return
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+
+    device_planes = [p for p in space.planes if "TPU" in p.name or "/device:" in p.name]
+    if not device_planes:
+        device_planes = [p for p in space.planes if "Host Threads" not in p.name]
+    buckets: dict = collections.defaultdict(float)
+    per_op: dict = collections.defaultdict(float)
+    for plane in device_planes:
+        ev_names = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            lname = line.name.lower()
+            # the XLA op-by-op line; skip step/module summary lines
+            if "xla op" not in lname and "xla ops" not in lname:
+                continue
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, "?")
+                dur_ms = ev.duration_ps / 1e9
+                per_op[name] += dur_ms
+                buckets[_bucket(name)] += dur_ms
+    if not per_op:
+        print("planes found:", [p.name for p in space.planes])
+        print("lines:", [(p.name, [l.name for l in p.lines]) for p in device_planes])
+        return
+    total = sum(buckets.values())
+    print(f"\n== op-time buckets (ms/step over {steps} steps, device total "
+          f"{total / steps:.2f} ms/step) ==")
+    for k, v in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:20s} {v / steps:8.2f} ms  ({100 * v / total:4.1f}%)")
+    print("\n== top 20 ops (ms/step) ==")
+    for name, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {v / steps:8.3f}  {name[:110]}")
+    print("\nraw profile:", paths[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="flagship")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--logdir", default=None)
+    ap.add_argument("--parse-only", default=None, help="skip capture; parse this dir")
+    args = ap.parse_args()
+
+    if args.parse_only:
+        parse_profile(args.parse_only, args.steps)
+        return 0
+
+    import jax
+
+    import bench
+
+    sizes = {"flagship": 256, "flagship512": 512, "small": 128, "tiny": 32}
+    image_size, num_frames = sizes[args.preset], 16
+    cfg, model, params = bench._build(args.preset, image_size, num_frames)
+    step_args = bench._step_args(cfg, model, params, image_size, num_frames)
+
+    @jax.jit
+    def step(params, noisy, t, ref_latent, audio, speeds, face_feat):
+        return model.predict_noise(
+            params, noisy, t, ref_latent, audio_windows=audio, speeds=speeds, face_feat=face_feat
+        )
+
+    # warm-up/compile outside the trace
+    out = step(*step_args)
+    jax.block_until_ready(out)
+    logdir = args.logdir or tempfile.mkdtemp(prefix="emox_profile_")
+    jax.profiler.start_trace(logdir)
+    for _ in range(args.steps):
+        out = step(*step_args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    print("captured", args.steps, "steps to", logdir)
+    parse_profile(logdir, args.steps)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
