@@ -53,7 +53,7 @@ def _load_config(args) -> "Config":
     overrides = _parse_overrides(args.set or [])
     if getattr(args, "stage", None) is not None and args.config is None:
         # stage presets as the base when no YAML given
-        base = stage_presets(args.stage) if args.stage in (1, 2, 3) else {}
+        base = stage_presets(args.stage) if args.stage in (1, 2, 3, 5) else {}
         for sec, vals in overrides.items():
             base.setdefault(sec, {}).update(vals)
         overrides = base
@@ -169,7 +169,8 @@ def cmd_train(args) -> int:
               f"{info.local_devices} local / {info.global_devices} global devices")
     cfg = _load_config(args)
     stage = cfg.train.stage
-    stage_name = {0: "stage0-facelocator", 1: "stage1", 2: "stage2", 3: "stage3", 4: "stage4-control"}[stage]
+    stage_name = {0: "stage0-facelocator", 1: "stage1", 2: "stage2", 3: "stage3",
+                  4: "stage4-control", 5: "stage1"}[stage]  # stage 5 (VAE) trains on stage-1 single frames
     print(f"stage {stage}: {STAGE_DESCRIPTIONS[stage]}")
 
     init_params = None
@@ -599,7 +600,9 @@ def build_parser() -> argparse.ArgumentParser:
     pk.set_defaults(fn=cmd_pack_records)
 
     pt = sub.add_parser("train", help="run a training stage")
-    pt.add_argument("--stage", type=int, choices=(0, 1, 2, 3, 4))
+    pt.add_argument("--stage", type=int, choices=(0, 1, 2, 3, 4, 5),
+                    help="5 = VAE pretraining (emox extension: bootstrap the "
+                    "autoencoder where the reference loads SD's pretrained one)")
     pt.add_argument("--config", default=None, help="YAML config path")
     pt.add_argument("--from-stage", type=int, default=None, help="init from this stage's checkpoint")
     # multi-host bootstrap (replaces the reference's torch.multiprocessing
@@ -607,7 +610,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--coordinator", default=None, help="coordinator address host:port (multi-host)")
     pt.add_argument("--num-processes", type=int, default=None)
     pt.add_argument("--process-id", type=int, default=None)
-    pt.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL", help="config overrides")
+    pt.add_argument("--set", nargs="*", action="extend", default=[], metavar="SEC.KEY=VAL", help="config overrides (repeatable)")
     pt.set_defaults(fn=cmd_train)
 
     pi = sub.add_parser("infer", help="reference image + audio -> talking-head video")
@@ -634,7 +637,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="CLIP-encode the reference image as an identity embedding "
                          "(requires clip.vision_enabled + model.use_identity_embed)")
     pi.add_argument("--ema", action="store_true", help="serve EMA shadow weights when present")
-    pi.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
+    pi.add_argument("--set", nargs="*", action="extend", default=[], metavar="SEC.KEY=VAL")
     pi.set_defaults(fn=cmd_infer)
 
     pw = sub.add_parser("import-weights", help="PyTorch SD/wav2vec2 checkpoints -> emox params")
@@ -645,7 +648,7 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("--clip-text", default=None, help="CLIPTextModel checkpoint (SD-1.5 text_encoder)")
     pw.add_argument("--clip-vision", default=None, help="CLIPVisionModelWithProjection checkpoint")
     pw.add_argument("--out", required=True)
-    pw.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
+    pw.add_argument("--set", nargs="*", action="extend", default=[], metavar="SEC.KEY=VAL")
     pw.set_defaults(fn=cmd_import_weights)
 
     px = sub.add_parser("export", help="AOT-export the denoise step (StableHLO) for serving")
@@ -655,7 +658,7 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--frames", type=int, default=16)
     px.add_argument("--size", type=int, default=256)
     px.add_argument("--ema", action="store_true", help="export EMA shadow weights when present")
-    px.add_argument("--set", nargs="*", metavar="SEC.KEY=VAL")
+    px.add_argument("--set", nargs="*", action="extend", default=[], metavar="SEC.KEY=VAL")
     px.set_defaults(fn=cmd_export)
 
     pf = sub.add_parser("train-face", help="train + ship the FaceLocator/FaceLandmarkNet asset")

@@ -286,6 +286,8 @@ class TrainConfig:
     gradient_accumulation: int = 1
     ema_decay: float = 0.0  # 0 disables
     face_loss_weight: float = 0.5  # reference configs/training/stage3.yaml
+    vae_kl_weight: float = 1e-6  # stage-5 VAE pretrain KL weight (SD's VAE
+    # training value; the reference never trains its VAE — it loads SD's)
     uncond_ratio: float = 0.1  # CFG dropout, reference configs/training/stage0.yaml
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 500
@@ -434,4 +436,8 @@ def stage_presets(stage: int) -> Dict[str, Dict[str, Any]]:
     if stage == 3:
         return {"train": {"stage": 3, "learning_rate": 1e-5, "face_loss_weight": 0.5},
                 "data": {"batch_size": 2, "num_frames": 8}}
-    raise ValueError(f"stage must be 1, 2 or 3, got {stage}")
+    if stage == 5:
+        # VAE pretraining (emox extension; single frames, AE-style lr)
+        return {"train": {"stage": 5, "learning_rate": 1e-4},
+                "data": {"batch_size": 4, "num_frames": 1}}
+    raise ValueError(f"stage must be 1, 2, 3 or 5, got {stage}")

@@ -43,6 +43,8 @@ STAGE_DESCRIPTIONS = {
     2: "temporal + audio attention",
     3: "speed + face-region control layers",
     4: "ControlNet dense conditioning branch",
+    5: "VAE pretraining (recon + KL; the reference loads SD's pretrained "
+       "VAE instead — this stage bootstraps one where no weights exist)",
 }
 
 # param-name substrings per conditioning family (denoiser collection)
@@ -77,6 +79,12 @@ def trainable_mask(params: Params, stage: int) -> Any:
             # ControlNet branch only (reference trains the controlnet
             # separately from the frozen UNet, controlnet.py from_unet flow)
             return top == "controlnet"
+        if stage == 5:
+            # VAE pretraining: the autoencoder alone. Not a reference stage
+            # (it loads runwayml/stable-diffusion-v1-5's VAE,
+            # train_stage_1_referencenet.py:124-133); emox additionally
+            # supports bootstrapping its own VAE for from-scratch runs.
+            return top == "vae"
         if top in ("vae", "audio_encoder", "face_locator", "controlnet", "clip_text", "clip_vision"):
             return False  # frozen in stages 1-3 (CLIP always frozen, as in
             # the reference: text_encoder loaded eval-only, animation.py:76)
@@ -134,6 +142,31 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
             loss = loss + 10.0 * lm_err
             metrics = dict(metrics, loss=loss, landmark_mse=lm_err,
                            landmark_frac=jnp.mean(valid))
+        return loss, metrics
+
+    def vae_loss(params: Params, batch: Dict, key: jax.Array):
+        """Stage 5: autoencoder pretraining — L1+L2 reconstruction plus a
+        tiny KL (SD's VAE recipe shape, minus the perceptual/GAN terms:
+        kl weight 1e-6 keeps the posterior tight so the diffusion stages'
+        stochastic encode adds negligible latent noise). latent_std is
+        reported so callers can calibrate VAEConfig.scaling_factor the way
+        SD derived 0.18215 (1/std of the trained latent distribution)."""
+        if "images" in batch:
+            imgs = batch["images"]
+        else:
+            f = batch["frames"]
+            imgs = f.reshape(-1, *f.shape[-3:])
+        recon, dist = model.modules.vae.apply({"params": params["vae"]}, imgs, key)
+        x = imgs.astype(jnp.float32)
+        recon = recon.astype(jnp.float32)
+        rec_mse = jnp.mean((recon - x) ** 2)
+        rec_l1 = jnp.mean(jnp.abs(recon - x))
+        kl = jnp.mean(dist.kl().astype(jnp.float32))  # summed over latent dims
+        loss = rec_mse + rec_l1 + config.train.vae_kl_weight * kl
+        metrics = {
+            "loss": loss, "recon_mse": rec_mse, "recon_l1": rec_l1, "kl": kl,
+            "latent_std": jnp.std(dist.mean.astype(jnp.float32)),
+        }
         return loss, metrics
 
     def denoise_loss(params: Params, batch: Dict, key: jax.Array):
@@ -230,4 +263,8 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
             metrics = {"loss": loss, "mse": metrics["mse"], "face_mse": face_err}
         return loss, metrics
 
-    return facelocator_loss if stage == 0 else denoise_loss
+    if stage == 0:
+        return facelocator_loss
+    if stage == 5:
+        return vae_loss
+    return denoise_loss

@@ -35,6 +35,13 @@ def main() -> int:
         "--preset small --size 256)",
     )
     ap.add_argument("--dtype", default=None, help="compute dtype override (e.g. bfloat16 on chip)")
+    ap.add_argument(
+        "--vae-steps", type=int, default=0,
+        help="stage-5 VAE pretraining steps before stage 1 (the zero-weight "
+        "stand-in for the reference's pretrained SD VAE; also calibrates "
+        "vae.scaling_factor to 1/latent_std, the SD-0.18215 derivation). "
+        "0 = keep the random-init VAE (smoke mode)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -104,8 +111,29 @@ def main() -> int:
             inference=infer_cfg,
         )
 
+    # stage 5 (optional): VAE pretraining — the reference loads SD's
+    # pretrained VAE (train_stage_1_referencenet.py:124-133); with no
+    # weights available we bootstrap one on the clip, then calibrate
+    # scaling_factor = 1/latent_std exactly how SD derived 0.18215.
+    # Without this the frozen random-init VAE (a) caps pixel fidelity at
+    # decode(encode(gt)) mush and (b) injects unit-scale posterior noise
+    # into every denoise-stage latent (its random logvar head ~ N(0,1)),
+    # flooring the eps-prediction loss near 1.0.
+    vae_params = None
+    if args.vae_steps > 0:
+        cfg5 = cfg.replace(train=dataclasses.replace(
+            cfg.train, stage=5, learning_rate=1e-4))
+        t5 = Trainer(cfg5)
+        ds5 = EMODataset(cache, "stage1", num_frames=args.frames, ref_mode="first")
+        m5 = t5.fit(DataLoader(ds5, batch_size=1, seed=0), num_steps=args.vae_steps)
+        std = float(m5.get("latent_std", 0.0)) or 1.0
+        print(f"stage5 (VAE) final recon_mse {m5['recon_mse']:.4f}, "
+              f"latent_std {std:.4f} -> scaling_factor {1.0 / std:.4f}")
+        cfg = cfg.replace(vae=dataclasses.replace(cfg.vae, scaling_factor=1.0 / std))
+        vae_params = t5.state.params
+
     # stage 1: spatial denoising on single frames
-    t1 = Trainer(cfg)
+    t1 = Trainer(cfg, init_params=vae_params)
     ds1 = EMODataset(cache, "stage1", num_frames=args.frames, ref_mode="first")
     m1 = t1.fit(DataLoader(ds1, batch_size=1, seed=0), num_steps=args.steps)
     print(f"stage1 final loss {m1['loss']:.4f}")

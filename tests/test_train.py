@@ -200,3 +200,49 @@ class TestEval:
         m = trainer.fit(dl, num_steps=2, eval_batches=ev_dl)
         assert "eval_loss" in m and np.isfinite(m["eval_loss"])
         assert trainer.best_ckpt.latest_step() is not None
+
+
+class TestStage5VAE:
+    """Stage 5 (emox extension): VAE pretraining — the zero-weight stand-in
+    for the reference's pretrained SD VAE (train_stage_1_referencenet.py:
+    124-133 loads runwayml/sd-1.5; emox can also bootstrap its own)."""
+
+    def test_mask_trains_only_vae(self, tmp_path):
+        cfg = tiny_config(str(tmp_path))
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+        m5 = trainable_mask(params, 5)
+        assert all(jax.tree.leaves(m5["vae"]))
+        for top in ("denoiser", "reference_net", "audio_encoder", "face_locator"):
+            if top in m5:
+                assert not any(jax.tree.leaves(m5[top])), f"{top} must stay frozen at stage 5"
+
+    def test_vae_loss_decreases_and_reports_latent_std(self, tmp_path, cache_dir):
+        cfg = tiny_config(str(tmp_path), stage=5, steps=30)
+        trainer = Trainer(cfg)
+        ds = EMODataset(cache_dir, "stage1", num_frames=2)
+        dl = DataLoader(ds, batch_size=2, seed=0, prefetch=0)
+        it = iter(dl)
+        # one manual step to capture the initial loss, then fit the rest
+        batch = next(it)
+        key = jax.random.PRNGKey(0)
+        loss0, metrics0 = trainer.loss_fn(trainer.state.params, jax.tree.map(jnp.asarray, batch), key)
+        metrics = trainer.fit(dl, num_steps=30)
+        assert np.isfinite(metrics["loss"])
+        assert metrics["loss"] < float(loss0), (metrics["loss"], float(loss0))
+        assert metrics["latent_std"] > 0
+        assert "recon_mse" in metrics and "kl" in metrics
+
+    def test_stage5_chains_into_stage1(self, tmp_path, cache_dir):
+        cfg5 = tiny_config(str(tmp_path), stage=5, steps=2)
+        t5 = Trainer(cfg5)
+        ds = EMODataset(cache_dir, "stage1", num_frames=2)
+        t5.fit(DataLoader(ds, batch_size=2, seed=0, prefetch=0), num_steps=2)
+        cfg1 = tiny_config(str(tmp_path), stage=1, steps=2)
+        t1 = Trainer(cfg1, init_params=t5.state.params)
+        vae_before = jax.tree.map(lambda x: np.array(x, copy=True), t1.state.params["vae"])
+        m1 = t1.fit(DataLoader(ds, batch_size=2, seed=0, prefetch=0), num_steps=2)
+        assert np.isfinite(m1["loss"])
+        # the pretrained VAE stays frozen through stage 1
+        for b, a in zip(jax.tree.leaves(vae_before), jax.tree.leaves(t1.state.params["vae"])):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
