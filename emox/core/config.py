@@ -288,6 +288,13 @@ class TrainConfig:
     face_loss_weight: float = 0.5  # reference configs/training/stage3.yaml
     vae_kl_weight: float = 1e-6  # stage-5 VAE pretrain KL weight (SD's VAE
     # training value; the reference never trains its VAE — it loads SD's)
+    vae_encode: str = "sample"  # latent draw for the denoise stages:
+    # "sample" = posterior sample (reference parity: latent_dist.sample(),
+    # train_stage_1_referencenet.py — fine for SD's pretrained VAE whose
+    # posterior std << latent scale); "mode" = deterministic mean — REQUIRED
+    # with a stage-5 self-bootstrapped VAE, whose posterior stays wide
+    # (measured std 0.88 vs signal 0.38 on the overfit clip: sampling
+    # drowns the latents and floors the eps loss at ~1.0)
     uncond_ratio: float = 0.1  # CFG dropout, reference configs/training/stage0.yaml
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 500

@@ -183,7 +183,10 @@ def stage_loss_fn(model: EMOModel, config: Config, sched: Schedule, stage: int):
             num_motion = batch["motion_frames"].shape[1]
             frames = jnp.concatenate([batch["motion_frames"], frames], axis=1)
         b, t = frames.shape[:2]
-        latents = model.encode_images(params, frames, key=k_enc)
+        # posterior sample (reference parity) vs deterministic mode — see
+        # TrainConfig.vae_encode for when each is right
+        enc_key = k_enc if config.train.vae_encode == "sample" else None
+        latents = model.encode_images(params, frames, key=enc_key)
         ref_latent = model.encode_images(params, batch["ref_image"])
         noise = jax.random.normal(k_noise, latents.shape)
         if dcfg.noise_offset > 0:

@@ -129,7 +129,13 @@ def main() -> int:
         std = float(m5.get("latent_std", 0.0)) or 1.0
         print(f"stage5 (VAE) final recon_mse {m5['recon_mse']:.4f}, "
               f"latent_std {std:.4f} -> scaling_factor {1.0 / std:.4f}")
-        cfg = cfg.replace(vae=dataclasses.replace(cfg.vae, scaling_factor=1.0 / std))
+        cfg = cfg.replace(
+            vae=dataclasses.replace(cfg.vae, scaling_factor=1.0 / std),
+            # deterministic encode: the bootstrapped VAE's posterior stays
+            # wide (std ~0.9 vs signal ~0.4 measured), so sampling it would
+            # drown the latents — see TrainConfig.vae_encode
+            train=dataclasses.replace(cfg.train, vae_encode="mode"),
+        )
         vae_params = t5.state.params
 
     # stage 1: spatial denoising on single frames
@@ -174,6 +180,15 @@ def main() -> int:
     # is the achievable anchor; sync needs more than a handful of frames to
     # be meaningful — see emox.eval.audio_sync_score)
     from emox.eval import evaluate_clip
+    from emox.eval.metrics import psnr
+
+    # the VAE round-trip ceiling: no denoiser can beat decode(encode(gt))
+    # through the frozen autoencoder — report it as the achievable anchor
+    # (with --vae-steps this is the stage-5-trained VAE, else random init)
+    model3 = EMOModel(cfg3)
+    gt_lat = model3.encode_images(t3.state.params, jnp.asarray(target))
+    gt_rt = np.asarray(model3.decode_latents(t3.state.params, gt_lat))
+    print(f"vae round-trip ceiling: psnr {float(psnr(jnp.asarray(gt_rt), jnp.asarray(target))):.2f} dB")
 
     metrics0 = evaluate_clip(
         np.asarray(frames0[0]), gt=target,

@@ -246,3 +246,26 @@ class TestStage5VAE:
         # the pretrained VAE stays frozen through stage 1
         for b, a in zip(jax.tree.leaves(vae_before), jax.tree.leaves(t1.state.params["vae"])):
             np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    def test_vae_encode_mode_vs_sample(self, tmp_path, cache_dir):
+        """vae_encode='mode' must bypass the posterior draw (the sample path
+        and the mode path see different latents for the same RNG key)."""
+        import dataclasses
+
+        from emox.train.stages import stage_loss_fn
+        from emox.diffusion.schedule import make_schedule
+
+        cfg = tiny_config(str(tmp_path), stage=1, steps=1)
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=2, image_size=32)
+        ds = EMODataset(cache_dir, "stage1", num_frames=2)
+        batch = jax.tree.map(jnp.asarray, next(iter(DataLoader(ds, batch_size=2, seed=0, prefetch=0))))
+        sched = make_schedule(cfg.diffusion)
+        key = jax.random.PRNGKey(3)
+        l_sample, _ = stage_loss_fn(model, cfg, sched, 1)(params, batch, key)
+        cfg_mode = cfg.replace(train=dataclasses.replace(cfg.train, vae_encode="mode"))
+        l_mode, _ = stage_loss_fn(model, cfg_mode, sched, 1)(params, batch, key)
+        l_mode2, _ = stage_loss_fn(model, cfg_mode, sched, 1)(params, batch, key)
+        assert np.isfinite(float(l_sample)) and np.isfinite(float(l_mode))
+        assert float(l_mode) == float(l_mode2)  # deterministic given the key
+        assert float(l_sample) != float(l_mode)  # the draw actually differs
