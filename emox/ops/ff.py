@@ -298,6 +298,13 @@ def ff_block_plan(m: int, c: int, mult: int, itemsize: int):
     traffic test: weight re-reads < intermediate bytes the fusion saves
     (conservatively the gated [M, 4C] write+read the XLA path pays)."""
     two_f = 2 * mult * c
+    # EMOX_FF_BLOCK_M: A/B override for the narrow kernel's row block (the
+    # r4 profile has the narrow sites at ~56% MXU; a bigger row block
+    # amortises the per-block LN/gate VPU work — VMEM-checked, falls back
+    # to 256 when the fp32 [bm, 2F] projection would not fit)
+    bm_env = int(os.environ.get("EMOX_FF_BLOCK_M", "0") or 0)
+    if bm_env and m % bm_env == 0 and _fits_vmem(c, two_f, bm_env, itemsize):
+        return bm_env, 0
     if _fits_vmem(c, two_f, 256, itemsize):
         return 256, 0
     hidden = mult * c

@@ -32,6 +32,10 @@ VARIANTS = {
     "lnqkv": {"EMOX_LN_QKV": "1"},
     "ff_lnqkv": {"EMOX_FF_IMPL": "auto", "EMOX_LN_QKV": "1"},
     "ff_qkv": {"EMOX_FF_IMPL": "auto", "EMOX_FUSED_QKV": "1"},
+    # r4 follow-up: base now HAS the FF default; ffbm512 widens the narrow
+    # kernel's row block 256 -> 512 (fewer grid iters, LN/gate VPU work
+    # amortised over a bigger MXU tile; VMEM-checked in ff_block_plan)
+    "ffbm512": {"EMOX_FF_BLOCK_M": "512"},
 }
 
 

@@ -24,16 +24,32 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _op_kind(name: str) -> str:
+    """The HLO op kind (`fusion`, `custom-call`, `copy`, ...) of a trace
+    event named like `%attn1.6 = bf16[...]{...} custom-call(bf16[...] %x)`.
+
+    Classify on this, NOT on substrings of the full text — operand lists
+    mention producer ops (`fusion(... %custom-call.254 ...)`), and bucketing
+    on those once inflated the pallas bucket from 9 to 24 ms/step."""
+    import re
+
+    after = name.split(" = ", 1)[-1]
+    m = re.search(r"(?<![%\w])([a-z][a-z\-]*)\(", after)
+    return m.group(1) if m else name.lstrip("%").split(".", 1)[0]
+
+
 def _bucket(name: str) -> str:
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
+    kind = _op_kind(name)
+    head = name.split(" ", 1)[0].lstrip("%").lower()
+    n = f"{kind} {head}"
+    if "custom-call" in n or "pallas" in n:
         return "pallas/custom-call"
     if n.startswith("copy") or ".copy" in n or "copy-start" in n or "copy-done" in n:
         return "copy"
     if "convolution" in n or n.startswith("conv"):
         return "conv"
-    if n.startswith("reduce") or "reduce." in n or ".reduce" in n:
-        return "reduce"
+    if n.startswith("reduce") or "reduce." in n or ".reduce" in n or "reduce_fusion" in n:
+        return "reduce (GN/LN stats)"
     if n.startswith("dot") or "dot." in n:
         return "dot"
     if "dynamic-update-slice" in n or "dynamic-slice" in n:
@@ -59,8 +75,20 @@ def parse_profile(logdir: str, steps: int) -> None:
     device_planes = [p for p in space.planes if "TPU" in p.name or "/device:" in p.name]
     if not device_planes:
         device_planes = [p for p in space.planes if "Host Threads" not in p.name]
+    # Async ops (`copy-start`, `slice-start`, ... paired with `*-done`) are
+    # SPANS that overlap synchronous compute — their duration covers issue →
+    # completion-wait, so summing them alongside sync ops double-counts
+    # (a 3-step capture once "summed" to 265 ms/step against a measured
+    # 38.9). Account them separately; the sync buckets are the roofline.
+    def _is_async(name: str) -> bool:
+        head = name.split(" ", 1)[0].lstrip("%")
+        head = head.split(".", 1)[0]
+        return head.endswith("-start") or head.endswith("-done")
+
     buckets: dict = collections.defaultdict(float)
     per_op: dict = collections.defaultdict(float)
+    async_ms = 0.0
+    t_min, t_max = float("inf"), 0.0
     for plane in device_planes:
         ev_names = {k: v.name for k, v in plane.event_metadata.items()}
         for line in plane.lines:
@@ -71,6 +99,11 @@ def parse_profile(logdir: str, steps: int) -> None:
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, "?")
                 dur_ms = ev.duration_ps / 1e9
+                t0 = line.timestamp_ns * 1e-6 + ev.offset_ps / 1e9
+                t_min, t_max = min(t_min, t0), max(t_max, t0 + dur_ms)
+                if _is_async(name):
+                    async_ms += dur_ms
+                    continue
                 per_op[name] += dur_ms
                 buckets[_bucket(name)] += dur_ms
     if not per_op:
@@ -78,11 +111,14 @@ def parse_profile(logdir: str, steps: int) -> None:
         print("lines:", [(p.name, [l.name for l in p.lines]) for p in device_planes])
         return
     total = sum(buckets.values())
-    print(f"\n== op-time buckets (ms/step over {steps} steps, device total "
-          f"{total / steps:.2f} ms/step) ==")
+    wall = t_max - t_min
+    print(f"\n== sync op-time buckets (ms/step over {steps} steps, sync total "
+          f"{total / steps:.2f} ms/step, trace wall {wall / steps:.2f} ms/step) ==")
     for k, v in sorted(buckets.items(), key=lambda kv: -kv[1]):
         print(f"  {k:20s} {v / steps:8.2f} ms  ({100 * v / total:4.1f}%)")
-    print("\n== top 20 ops (ms/step) ==")
+    print(f"  [async spans (overlapped copies/slices), not in total: "
+          f"{async_ms / steps:.2f} ms/step summed]")
+    print("\n== top 20 sync ops (ms/step) ==")
     for name, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:20]:
         print(f"  {v / steps:8.3f}  {name[:110]}")
     print("\nraw profile:", paths[-1])

@@ -463,6 +463,18 @@ class TestWideLNGEGLU:
         # intermediate saving -> XLA keeps the site
         assert ff_block_plan(256, 1280, 4, 2) is None
 
+    def test_plan_block_m_env_override(self, monkeypatch):
+        from emox.ops.ff import ff_block_plan
+
+        monkeypatch.setenv("EMOX_FF_BLOCK_M", "512")
+        # honored where it divides M and fits VMEM (C=320: 9.0 MB)
+        assert ff_block_plan(16384, 320, 4, 2) == (512, 0)
+        # ignored when it does not divide M
+        assert ff_block_plan(16400, 320, 4, 2) == (256, 0)
+        # ignored when the fp32 [bm, 2F] projection would blow VMEM
+        monkeypatch.setenv("EMOX_FF_BLOCK_M", "2048")
+        assert ff_block_plan(16384, 320, 4, 2) == (256, 0)
+
 
 def test_forced_fused_bails_to_xla_when_unfittable():
     """EMOX_FF_IMPL=fused on a C=1280 site must not hand Mosaic an
