@@ -198,6 +198,42 @@ def main() -> int:
         np.asarray(frames[0]), gt=target,
         masks=clip["face_masks"][: args.frames], wav=clip["wav"],
     )
+
+    # distribution-level column (the FID/FVD stand-in, same pooling as
+    # `emox eval`): Frechet distance between gaussian fits of per-frame
+    # VAE latents of generated vs ground-truth frames
+    from emox.eval import frechet_distance
+
+    def _lat_feats(fr):
+        lat = model3.encode_images(t3.state.params, jnp.asarray(fr))
+        pooled = jax.image.resize(lat, (lat.shape[0], 4, 4, lat.shape[-1]), "linear")
+        return pooled.reshape(lat.shape[0], -1)
+
+    if args.frames >= 2:
+        ft = _lat_feats(target)
+        metrics0["latent_frechet"] = float(frechet_distance(_lat_feats(np.asarray(frames0[0])), ft))
+        metrics["latent_frechet"] = float(frechet_distance(_lat_feats(np.asarray(frames[0])), ft))
+
+    # identity drift vs the reference frame, when the preset carries a
+    # CLIP-vision tower (reference EMOAnimationPipeline.py:867 identity role)
+    if cfg3.clip.vision_enabled and "clip_vision" in t3.state.params:
+        from emox.data.native import resize_bilinear
+        from emox.eval import identity_similarity
+        from emox.models.clip import clip_normalize
+
+        cs = cfg3.clip.image_size
+        def _id_sim(fr):
+            small = np.stack([resize_bilinear(np.ascontiguousarray(f, np.float32), cs, cs) for f in fr])
+            emb = model3.encode_image_embedding(
+                t3.state.params, clip_normalize(jnp.asarray((small + 1.0) / 2.0)))
+            rs = resize_bilinear(np.ascontiguousarray(np.asarray(ref[0]), np.float32), cs, cs)
+            remb = model3.encode_image_embedding(
+                t3.state.params, clip_normalize(jnp.asarray((rs[None] + 1.0) / 2.0)))
+            return float(identity_similarity(emb, remb[0]))
+
+        metrics0["identity_similarity"] = _id_sim(np.asarray(frames0[0]))
+        metrics["identity_similarity"] = _id_sim(np.asarray(frames[0]))
+
     print("eval (random init):", {k: round(v, 4) for k, v in metrics0.items()})
     print("eval (trained 1->2->3):", {k: round(v, 4) for k, v in metrics.items()})
     return 0
