@@ -305,6 +305,13 @@ def ff_block_plan(m: int, c: int, mult: int, itemsize: int):
     bm_env = int(os.environ.get("EMOX_FF_BLOCK_M", "0") or 0)
     if bm_env and m % bm_env == 0 and _fits_vmem(c, two_f, bm_env, itemsize):
         return bm_env, 0
+    # Measured default (r5 on-chip end-to-end A/B, flagship preset, fresh
+    # processes): bm=512 beats bm=256 — 25.89 vs 25.50 steps/s (38.63 vs
+    # 39.22 ms/step). The bigger row block halves the per-block LN/gate VPU
+    # serialisation the r4 profile flagged (~56% MXU at the narrow sites).
+    # VMEM-gated: falls back to 256 where the fp32 [bm, 2F] block won't fit.
+    if m % 512 == 0 and _fits_vmem(c, two_f, 512, itemsize):
+        return 512, 0
     if _fits_vmem(c, two_f, 256, itemsize):
         return 256, 0
     hidden = mult * c

@@ -454,8 +454,11 @@ class TestWideLNGEGLU:
     def test_plan(self):
         from emox.ops.ff import ff_block_plan
 
-        # C=320 level-0: narrow, weights resident
-        assert ff_block_plan(16384, 320, 4, 2) == (256, 0)
+        # C=320 level-0: narrow, weights resident; bm=512 is the measured
+        # default (r5 on-chip A/B: 25.89 vs 25.50 steps/s)
+        assert ff_block_plan(16384, 320, 4, 2) == (512, 0)
+        # bm=512 needs M % 512 == 0; otherwise the narrow kernel keeps 256
+        assert ff_block_plan(16384 + 256, 320, 4, 2) == (256, 0)
         # C=640 with many tokens: wide wins the traffic test
         bm, bf = ff_block_plan(16384, 640, 4, 2)
         assert bf > 0 and (640 * 4) % bf == 0
@@ -466,14 +469,15 @@ class TestWideLNGEGLU:
     def test_plan_block_m_env_override(self, monkeypatch):
         from emox.ops.ff import ff_block_plan
 
+        monkeypatch.setenv("EMOX_FF_BLOCK_M", "256")
+        # honored where it divides M and fits VMEM (overrides the 512 default)
+        assert ff_block_plan(16384, 320, 4, 2) == (256, 0)
+        # ignored when it does not divide M (falls to the default ladder)
         monkeypatch.setenv("EMOX_FF_BLOCK_M", "512")
-        # honored where it divides M and fits VMEM (C=320: 9.0 MB)
-        assert ff_block_plan(16384, 320, 4, 2) == (512, 0)
-        # ignored when it does not divide M
         assert ff_block_plan(16400, 320, 4, 2) == (256, 0)
         # ignored when the fp32 [bm, 2F] projection would blow VMEM
         monkeypatch.setenv("EMOX_FF_BLOCK_M", "2048")
-        assert ff_block_plan(16384, 320, 4, 2) == (256, 0)
+        assert ff_block_plan(16384, 320, 4, 2) == (512, 0)
 
 
 def test_forced_fused_bails_to_xla_when_unfittable():
