@@ -222,7 +222,14 @@ class Trainer:
             lambda p: self.opt.init(self._trainable_leaves(p)), out_shardings=rep
         )(params)
         ema = params if tc.ema_decay > 0 else None
-        self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, ema_params=ema)
+        # step gets the same replicated NamedSharding as every other leaf:
+        # an eager jnp.zeros carries SingleDeviceSharding, which differs from
+        # the NamedSharding the step returns, so the second _train_step call
+        # would silently compile a SECOND identical program (minutes at
+        # flagship scale; ADVICE r4 — the bench worked around it, this fixes
+        # the source for all callers)
+        step0 = jax.device_put(jnp.zeros((), jnp.int32), rep)
+        self.state = TrainState(step=step0, params=params, opt_state=opt_state, ema_params=ema)
 
         self.ckpt = Checkpointer(os.path.join(tc.checkpoint_dir, f"stage{self.stage}"), tc.keep_checkpoints)
         self.best_ckpt = Checkpointer(os.path.join(tc.checkpoint_dir, f"stage{self.stage}_best"), 1)
@@ -292,6 +299,14 @@ class Trainer:
             return TrainState(state.step + 1, params, opt_state, ema), metrics
 
         return jax.jit(step_fn, donate_argnums=(0,), in_shardings=(None, data_sharding, rep), out_shardings=(None, rep))
+
+    def train_step(self, state: TrainState, batch: Dict, key: jax.Array):
+        """One compiled train step -> (new_state, metrics).
+
+        The public single-step entry point (bench.py, custom loops);
+        `fit()` drives the same compiled program with logging/checkpoints
+        around it."""
+        return self._train_step(state, batch, key)
 
     def resume(self) -> int:
         latest = self.ckpt.latest_step()

@@ -140,6 +140,20 @@ class TestTraining:
             np.asarray(t1.state.params["denoiser"]["conv_in"]["kernel"]),
         )
 
+    def test_train_step_compiles_once(self, tmp_path, cache_dir):
+        """Calls 1 and 2 share ONE compiled program (ADVICE r4): the init
+        state's `step` leaf used to carry SingleDeviceSharding while the
+        step output carried NamedSharding, so the second call silently
+        compiled an identical second program (minutes at flagship scale)."""
+        cfg = tiny_config(str(tmp_path), stage=1, steps=2)
+        trainer = Trainer(cfg)
+        ds = EMODataset(cache_dir, "stage1", num_frames=2)
+        batch = next(iter(DataLoader(ds, batch_size=2, seed=0, prefetch=0)))
+        key = jax.random.PRNGKey(0)
+        state, _ = trainer.train_step(trainer.state, batch, key)
+        state, _ = trainer.train_step(state, batch, key)
+        assert trainer._train_step._cache_size() == 1
+
     def test_loss_decreases_overfit(self, tmp_path, cache_dir):
         """Overfit-one-batch sanity (the reference's declared test strategy,
         README.md:119-121): stage-1 loss drops over 30 steps."""
