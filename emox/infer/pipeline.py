@@ -381,6 +381,7 @@ class EMOPipeline:
         negative_prompt: str = "",
         tokenizer=None,
         use_identity: bool = False,
+        control_cond: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Returns video frames [B, T, H, W, 3] in [-1, 1].
 
@@ -389,20 +390,23 @@ class EMOPipeline:
         model.use_cross_attention; reference pipeline_animation.py:184-271).
         use_identity: CLIP-encode ref_image into an identity embedding
         (requires clip.vision_enabled + model.use_identity_embed; reference
-        EMOAnimationPipeline.py:867)."""
+        EMOAnimationPipeline.py:867).
+        control_cond: [B, T, H, W, Cc] pose renders steering the trained
+        ControlNet branch (requires model.use_controlnet; reference
+        magicanimate controlnet conditioning path)."""
         context = uncond_context = None
         if prompt is not None:
             context, uncond_context = self.encode_prompt(params, prompt, negative_prompt, tokenizer)
         identity_embed = self.encode_identity(params, ref_image) if use_identity else None
         cache_key = ("call", video_length, num_inference_steps, guidance_scale,
                      speeds is not None, face_mask is not None, interpolation_factor,
-                     context is not None, use_identity)
+                     context is not None, use_identity, control_cond is not None)
         if cache_key not in self._jitted:
             def run(params, ref_image, wav, speeds, face_mask, key, context, uncond_context,
-                    identity_embed):
+                    identity_embed, control_cond):
                 lat = self.generate_latents(
                     params, ref_image, wav, video_length, num_inference_steps,
-                    guidance_scale, speeds, face_mask, key,
+                    guidance_scale, speeds, face_mask, key, control_cond=control_cond,
                     context=context, uncond_context=uncond_context, identity_embed=identity_embed,
                 )
                 f = interpolation_factor or self.config.inference.interpolation_factor
@@ -413,7 +417,7 @@ class EMOPipeline:
             self._jitted[cache_key] = jax.jit(run)
         key = key if key is not None else jax.random.PRNGKey(self.config.inference.seed)
         return self._jitted[cache_key](params, ref_image, wav, speeds, face_mask, key,
-                                       context, uncond_context, identity_embed)
+                                       context, uncond_context, identity_embed, control_cond)
 
     def invert(
         self,

@@ -36,6 +36,21 @@ def main() -> int:
     )
     ap.add_argument("--dtype", default=None, help="compute dtype override (e.g. bfloat16 on chip)")
     ap.add_argument(
+        "--lr", type=float, default=None,
+        help="override the per-stage adamw lrs (stage1=lr, stage2=lr/2, "
+        "stage3=lr/4, stage4=lr/2). The inline defaults (2e-3/1e-3/5e-4) "
+        "suit the 16-channel CPU dev config; at preset scale they collapse "
+        "the denoiser to predicting 0 (r5 on-chip lr probe: loss pinned at "
+        "~0.97 for 2000 steps at 2e-3 vs learning at 1e-4..3e-4)",
+    )
+    ap.add_argument(
+        "--stage4-steps", type=int, default=0,
+        help="train the ControlNet branch on the precomputed landmark-"
+        "skeleton renders after stage 3 (reference magicanimate/models/"
+        "controlnet.py:267-330 from_unet flow) and sample one control-"
+        "composed clip. 0 = skip stage 4",
+    )
+    ap.add_argument(
         "--vae-steps", type=int, default=0,
         help="stage-5 VAE pretraining steps before stage 1 (the zero-weight "
         "stand-in for the reference's pretrained SD VAE; also calibrates "
@@ -78,7 +93,7 @@ def main() -> int:
 
     s = args.size
     train_cfg = TrainConfig(
-        stage=1, num_steps=args.steps, learning_rate=2e-3, log_every=max(1, args.steps // 10),
+        stage=1, num_steps=args.steps, learning_rate=args.lr or 2e-3, log_every=max(1, args.steps // 10),
         checkpoint_every=args.steps, checkpoint_dir=os.path.join(work, "ckpt"),
         compute_dtype=args.dtype or "float32",
     )
@@ -110,6 +125,12 @@ def main() -> int:
             train=train_cfg,
             inference=infer_cfg,
         )
+
+    if args.stage4_steps > 0:
+        # the ControlNet branch must exist in the param tree from stage 1 on
+        # (zero-init: frozen + output-identical until stage 4 trains it)
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, use_controlnet=True, control_cond_channels=3))
 
     # stage 5 (optional): VAE pretraining — the reference loads SD's
     # pretrained VAE (train_stage_1_referencenet.py:124-133); with no
@@ -145,7 +166,8 @@ def main() -> int:
     print(f"stage1 final loss {m1['loss']:.4f}")
 
     # stage 2: temporal + audio on clips, init from stage 1
-    cfg2 = cfg.replace(train=dataclasses.replace(cfg.train, stage=2, learning_rate=1e-3))
+    cfg2 = cfg.replace(train=dataclasses.replace(
+        cfg.train, stage=2, learning_rate=args.lr / 2 if args.lr else 1e-3))
     t2 = Trainer(cfg2, init_params=t1.state.params)
     ds2 = EMODataset(cache, "stage2", num_frames=args.frames, ref_mode="first")
     m2 = t2.fit(DataLoader(ds2, batch_size=1, seed=0), num_steps=args.steps)
@@ -154,11 +176,24 @@ def main() -> int:
     # stage 3: speed/face refinement (masked face loss), init from stage 2
     # (reference train_stage_3.py protocol — completes the 1->2->3 chain)
     cfg3 = cfg.replace(train=dataclasses.replace(
-        cfg.train, stage=3, learning_rate=5e-4, face_loss_weight=0.5))
+        cfg.train, stage=3, learning_rate=args.lr / 4 if args.lr else 5e-4, face_loss_weight=0.5))
     t3 = Trainer(cfg3, init_params=t2.state.params)
     ds3 = EMODataset(cache, "stage3", num_frames=args.frames, ref_mode="first")
     m3 = t3.fit(DataLoader(ds3, batch_size=1, seed=0), num_steps=args.steps)
     print(f"stage3 final loss {m3['loss']:.4f}")
+
+    # stage 4 (optional): ControlNet branch on the precomputed landmark-
+    # skeleton renders, frozen denoiser (reference trains the controlnet
+    # separately from the UNet, magicanimate/models/controlnet.py:267-330)
+    final_trainer = t3
+    if args.stage4_steps > 0:
+        cfg4 = cfg.replace(train=dataclasses.replace(
+            cfg.train, stage=4, learning_rate=args.lr / 2 if args.lr else 1e-3))
+        t4 = Trainer(cfg4, init_params=t3.state.params)
+        ds4 = EMODataset(cache, "stage4-control", num_frames=args.frames, ref_mode="first")
+        m4 = t4.fit(DataLoader(ds4, batch_size=1, seed=0), num_steps=args.stage4_steps)
+        print(f"stage4 final loss {m4['loss']:.4f}")
+        final_trainer = t4
 
     # sample: first frame + the clip's own audio
     clip = dict(np.load(os.path.join(cache, "clip.npz")))
@@ -169,7 +204,18 @@ def main() -> int:
     # "before" sample from random init — the eval table's untrained anchor
     p0 = EMOModel(cfg3).init_params(jax.random.PRNGKey(7), num_frames=2, image_size=s)
     frames0 = pipe(p0, ref, wav, video_length=args.frames)
-    frames = pipe(t3.state.params, ref, wav, video_length=args.frames)
+    trained_params = final_trainer.state.params
+    frames = pipe(trained_params, ref, wav, video_length=args.frames)
+    frames_ctrl = None
+    if args.stage4_steps > 0 and "control" in clip:
+        # control-composed sample: the clip's own skeleton renders steer the
+        # trained ControlNet branch (reference EMOAnimationPipeline controlnet
+        # conditioning path)
+        ctrl = clip["control"][: args.frames]
+        if ctrl.dtype == np.uint8:
+            ctrl = ctrl.astype(np.float32) / 255.0
+        frames_ctrl = pipe(trained_params, ref, wav, video_length=args.frames,
+                           control_cond=jnp.asarray(ctrl[None]))
     out = save_video(np.asarray(frames[0]), args.out, fps=25.0, wav=np.asarray(wav[0]))
     target = clip["frames"][: args.frames]
     mse = float(np.mean((np.asarray(frames[0]) - target) ** 2))
@@ -186,8 +232,8 @@ def main() -> int:
     # through the frozen autoencoder — report it as the achievable anchor
     # (with --vae-steps this is the stage-5-trained VAE, else random init)
     model3 = EMOModel(cfg3)
-    gt_lat = model3.encode_images(t3.state.params, jnp.asarray(target))
-    gt_rt = np.asarray(model3.decode_latents(t3.state.params, gt_lat))
+    gt_lat = model3.encode_images(trained_params, jnp.asarray(target))
+    gt_rt = np.asarray(model3.decode_latents(trained_params, gt_lat))
     print(f"vae round-trip ceiling: psnr {float(psnr(jnp.asarray(gt_rt), jnp.asarray(target))):.2f} dB")
 
     metrics0 = evaluate_clip(
@@ -198,6 +244,15 @@ def main() -> int:
         np.asarray(frames[0]), gt=target,
         masks=clip["face_masks"][: args.frames], wav=clip["wav"],
     )
+    metrics_ctrl = None
+    if frames_ctrl is not None:
+        save_video(np.asarray(frames_ctrl[0]),
+                   args.out.replace(".npz", "_ctrl.npz").replace(".mp4", "_ctrl.mp4"),
+                   fps=25.0, wav=np.asarray(wav[0]))
+        metrics_ctrl = evaluate_clip(
+            np.asarray(frames_ctrl[0]), gt=target,
+            masks=clip["face_masks"][: args.frames], wav=clip["wav"],
+        )
 
     # distribution-level column (the FID/FVD stand-in, same pooling as
     # `emox eval`): Frechet distance between gaussian fits of per-frame
@@ -205,7 +260,7 @@ def main() -> int:
     from emox.eval import frechet_distance
 
     def _lat_feats(fr):
-        lat = model3.encode_images(t3.state.params, jnp.asarray(fr))
+        lat = model3.encode_images(trained_params, jnp.asarray(fr))
         pooled = jax.image.resize(lat, (lat.shape[0], 4, 4, lat.shape[-1]), "linear")
         return pooled.reshape(lat.shape[0], -1)
 
@@ -216,7 +271,7 @@ def main() -> int:
 
     # identity drift vs the reference frame, when the preset carries a
     # CLIP-vision tower (reference EMOAnimationPipeline.py:867 identity role)
-    if cfg3.clip.vision_enabled and "clip_vision" in t3.state.params:
+    if cfg3.clip.vision_enabled and "clip_vision" in trained_params:
         from emox.data.native import resize_bilinear
         from emox.eval import identity_similarity
         from emox.models.clip import clip_normalize
@@ -225,10 +280,10 @@ def main() -> int:
         def _id_sim(fr):
             small = np.stack([resize_bilinear(np.ascontiguousarray(f, np.float32), cs, cs) for f in fr])
             emb = model3.encode_image_embedding(
-                t3.state.params, clip_normalize(jnp.asarray((small + 1.0) / 2.0)))
+                trained_params, clip_normalize(jnp.asarray((small + 1.0) / 2.0)))
             rs = resize_bilinear(np.ascontiguousarray(np.asarray(ref[0]), np.float32), cs, cs)
             remb = model3.encode_image_embedding(
-                t3.state.params, clip_normalize(jnp.asarray((rs[None] + 1.0) / 2.0)))
+                trained_params, clip_normalize(jnp.asarray((rs[None] + 1.0) / 2.0)))
             return float(identity_similarity(emb, remb[0]))
 
         metrics0["identity_similarity"] = _id_sim(np.asarray(frames0[0]))
@@ -236,6 +291,9 @@ def main() -> int:
 
     print("eval (random init):", {k: round(v, 4) for k, v in metrics0.items()})
     print("eval (trained 1->2->3):", {k: round(v, 4) for k, v in metrics.items()})
+    if metrics_ctrl is not None:
+        print("eval (trained 1->2->3->4, control-composed):",
+              {k: round(v, 4) for k, v in metrics_ctrl.items()})
     return 0
 
 

@@ -116,6 +116,24 @@ class TestPipeline:
         )
         assert not np.allclose(np.asarray(lat), np.asarray(lat2))
 
+    def test_call_with_control_cond(self, setup):
+        """__call__ threads control_cond through to the denoiser (r5: the
+        kwarg existed on generate_latents but the public entry point
+        dropped it, so `overfit_one_clip --stage4-steps` crashed)."""
+        import dataclasses as dc
+
+        cfg = pipe_config()
+        cfg = cfg.replace(model=dc.replace(cfg.model, use_controlnet=True))
+        model = EMOModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), num_frames=4, image_size=32)
+        ref = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 0.1
+        wav = jax.random.normal(jax.random.PRNGKey(2), (1, 16000)) * 0.01
+        pipe = EMOPipeline(model, cfg)
+        control = jnp.ones((1, 4, 32, 32, 3)) * 0.5
+        frames = pipe(params, ref, wav, video_length=4, control_cond=control)
+        assert frames.shape == (1, 4, 32, 32, 3)
+        assert np.isfinite(np.asarray(frames)).all()
+
     def test_invert_shapes(self, setup):
         model, params, ref, wav = setup
         pipe = EMOPipeline(model, pipe_config())
