@@ -232,9 +232,15 @@ def precompute_dataset(
     fps: float = 25.0,
     face_helper: Optional[FaceHelper] = None,
     with_control: bool = True,
+    skip_existing: bool = True,
 ) -> str:
     """CelebV-HQ-style metadata {clips: {id: ...}} -> cache of npz files +
-    cache manifest (reference ExtractFrames.py:22-85 + EMODataset wiring)."""
+    cache manifest (reference ExtractFrames.py:22-85 + EMODataset wiring).
+
+    skip_existing makes re-runs resumable: a clip whose cache npz is
+    already newer than its source is manifest-listed without re-running
+    the CV pipeline (at the reference's CelebV-HQ scale of 36,000 clips,
+    reference README.md:113-117, a restart must not redo days of work)."""
     with open(metadata_json) as f:
         meta = json.load(f)
     os.makedirs(cache_dir, exist_ok=True)
@@ -257,6 +263,15 @@ def precompute_dataset(
         if src is None:
             continue
         out_path = os.path.join(cache_dir, cid + ".npz")
+        if (
+            skip_existing
+            and os.path.exists(out_path)
+            and os.path.getmtime(out_path) >= os.path.getmtime(src)
+        ):
+            with np.load(out_path) as done:
+                n_frames = int(done["frames"].shape[0])
+            manifest[cid] = {"frames": n_frames, "path": out_path}
+            continue
         clip = precompute_clip(
             src, out_path, width, height, fps, face_helper=face_helper,
             clip_meta=centry if isinstance(centry, dict) else None,

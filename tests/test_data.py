@@ -117,6 +117,27 @@ class TestPrecompute:
             manifest = json.load(f)
         assert len(manifest) == 2
 
+    def test_precompute_dataset_resumes(self, tmp_path):
+        # skip_existing: a re-run must not redo finished clips (CelebV-HQ
+        # scale, reference README.md:113-117) but still manifest them all
+        vdir = tmp_path / "videos"
+        meta = write_fixture_dataset(str(vdir), num_clips=2, num_frames=4, size=32)
+        cache = tmp_path / "cache"
+        precompute_dataset(meta, str(vdir), str(cache), width=32, height=32)
+        mtimes = {p.name: p.stat().st_mtime_ns for p in cache.glob("*.npz")}
+        man = precompute_dataset(meta, str(vdir), str(cache), width=32, height=32)
+        assert {p.name: p.stat().st_mtime_ns for p in cache.glob("*.npz")} == mtimes
+        with open(man) as f:
+            manifest = json.load(f)
+        assert len(manifest) == 2 and all(v["frames"] == 4 for v in manifest.values())
+        # a stale cache entry (older than its source) is redone
+        src = sorted(vdir.glob("synthetic_*.npz"))[0]
+        stale = cache / src.name
+        os.utime(stale, ns=(0, 0))
+        os.utime(src)
+        precompute_dataset(meta, str(vdir), str(cache), width=32, height=32)
+        assert stale.stat().st_mtime_ns > mtimes[stale.name]
+
 
 @pytest.fixture(scope="module")
 def cache_dir(tmp_path_factory):
