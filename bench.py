@@ -159,11 +159,12 @@ def _measure_step_ms(model, args, iters: int):
     return step_ms, naive_ms
 
 
-def _measure_train512_ms(iters: int = 3) -> dict:
-    """Stage-2 train step at the reference train res (512^2, bs2 8f, bf16
-    compute / fp32 trainable masters, frozen spatial stack in bf16) —
-    matches reference configs/training/stage{1,2}.yaml. Same T(2n)-T(n)
-    protocol, synced via host fetch of the loss scalar."""
+def _train512_setup(b: int = 2, t: int = 8, hw: int = 512):
+    """Trainer + synthetic batch for the stage-2 train step at the
+    reference train res (512^2, bs2 8f, bf16 compute / fp32 trainable
+    masters, frozen spatial stack in bf16) — matches reference
+    configs/training/stage{1,2}.yaml. Shared with examples/profile_step.py
+    --train512 so the profiled program is the benched program."""
     import dataclasses
 
     import jax
@@ -172,7 +173,6 @@ def _measure_train512_ms(iters: int = 3) -> dict:
     from emox.core.presets import flagship_config
     from emox.train.trainer import Trainer
 
-    b, t, hw = 2, 8, 512
     cfg = flagship_config(image_size=hw, num_frames=t)
     cfg = dataclasses.replace(
         cfg,
@@ -189,6 +189,14 @@ def _measure_train512_ms(iters: int = 3) -> dict:
         "ref_image": 0.1 * jax.random.normal(key, (b, hw, hw, 3), jnp.float32),
         "wav": jnp.zeros((b, int(16000 * (t + 2 * cfg.audio.context_frames) / 25.0)), jnp.float32),
     }
+    return tr, batch, key
+
+
+def _measure_train512_ms(iters: int = 3) -> dict:
+    """T(2n)-T(n) protocol over the shared train512 program, synced via
+    host fetch of the loss scalar."""
+    b, t = 2, 8
+    tr, batch, key = _train512_setup(b=b, t=t)
     state = tr.state
 
     def loop(n: int) -> float:

@@ -13,11 +13,62 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_cfg(*, preset, size, frames, steps, lr, dtype, stage4, cache, work):
+    """The overfit-protocol Config — shared with examples/sampler_sweep.py so
+    the sweep re-samples the SAME program the training run used."""
+    from emox.core.config import (
+        AudioConfig, Config, DataConfig, InferenceConfig, MeshConfig, ModelConfig, TrainConfig, VAEConfig,
+    )
+
+    s = size
+    train_cfg = TrainConfig(
+        stage=1, num_steps=steps, learning_rate=lr or 2e-3, log_every=max(1, steps // 10),
+        checkpoint_every=steps, checkpoint_dir=os.path.join(work, "ckpt"),
+        compute_dtype=dtype or "float32",
+    )
+    infer_cfg = InferenceConfig(
+        context_frames=max(8, frames), video_length=frames, width=s, height=s,
+        num_inference_steps=20, guidance_scale=1.5,
+    )
+    if preset != "custom":
+        from emox.core.presets import PRESETS
+
+        base = PRESETS[preset](image_size=s, num_frames=frames)
+        cfg = base.replace(
+            mesh=MeshConfig(data=1, context=1, model=1),
+            data=dataclasses.replace(base.data, batch_size=1, cache_dir=cache),
+            train=train_cfg,
+            inference=infer_cfg,
+        )
+    else:
+        cfg = Config(
+            vae=VAEConfig(base_channels=16, channel_multipliers=(1, 2), num_res_blocks=1, norm_groups=8),
+            model=ModelConfig(
+                base_channels=16, channel_multipliers=(1, 2), layers_per_block=1, norm_groups=8,
+                attention_head_dim=8, cross_attention_dim=16, attention_levels=(1,),
+                audio_context_dim=32, use_cross_attention=False,
+            ),
+            audio=AudioConfig(hidden_dim=32, num_layers=1, num_heads=2, conv_dim=16),
+            mesh=MeshConfig(data=1, context=1, model=1),
+            data=DataConfig(width=s, height=s, num_frames=frames, batch_size=1, cache_dir=cache),
+            train=train_cfg,
+            inference=infer_cfg,
+        )
+
+    if stage4:
+        # the ControlNet branch must exist in the param tree from stage 1 on
+        # (zero-init: frozen + output-identical until stage 4 trains it)
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, use_controlnet=True, control_cond_channels=3))
+    return cfg
 
 
 def main() -> int:
@@ -67,9 +118,6 @@ def main() -> int:
 
     enable_persistent_cache()
 
-    from emox.core.config import (
-        AudioConfig, Config, DataConfig, InferenceConfig, MeshConfig, ModelConfig, TrainConfig, VAEConfig,
-    )
     from emox.data.dataset import DataLoader, EMODataset
     from emox.data.precompute import precompute_clip
     from emox.infer.pipeline import EMOPipeline
@@ -80,6 +128,7 @@ def main() -> int:
     work = args.workdir or tempfile.mkdtemp(prefix="emox_overfit_")
     cache = os.path.join(work, "cache")
     os.makedirs(cache, exist_ok=True)
+    print(f"workdir: {work} (checkpoints + run.json reusable by examples/sampler_sweep.py)")
 
     src = args.video
     if src is None:
@@ -92,45 +141,24 @@ def main() -> int:
     precompute_clip(src, os.path.join(cache, "clip.npz"), width=args.size, height=args.size)
 
     s = args.size
-    train_cfg = TrainConfig(
-        stage=1, num_steps=args.steps, learning_rate=args.lr or 2e-3, log_every=max(1, args.steps // 10),
-        checkpoint_every=args.steps, checkpoint_dir=os.path.join(work, "ckpt"),
-        compute_dtype=args.dtype or "float32",
+    cfg = build_cfg(
+        preset=args.preset, size=args.size, frames=args.frames, steps=args.steps,
+        lr=args.lr, dtype=args.dtype, stage4=args.stage4_steps > 0, cache=cache, work=work,
     )
-    infer_cfg = InferenceConfig(
-        context_frames=max(8, args.frames), video_length=args.frames, width=s, height=s,
-        num_inference_steps=20, guidance_scale=1.5,
+
+    # persist the run recipe so examples/sampler_sweep.py can rebuild the
+    # exact Config and re-sample the saved checkpoints later
+    run_meta = dict(
+        preset=args.preset, size=args.size, frames=args.frames, steps=args.steps,
+        lr=args.lr, dtype=args.dtype, stage4=args.stage4_steps > 0,
+        scaling_factor=None, vae_encode=cfg.train.vae_encode,
     )
-    if args.preset != "custom":
-        from emox.core.presets import PRESETS
 
-        base = PRESETS[args.preset](image_size=s, num_frames=args.frames)
-        cfg = base.replace(
-            mesh=MeshConfig(data=1, context=1, model=1),
-            data=dataclasses.replace(base.data, batch_size=1, cache_dir=cache),
-            train=train_cfg,
-            inference=infer_cfg,
-        )
-    else:
-        cfg = Config(
-            vae=VAEConfig(base_channels=16, channel_multipliers=(1, 2), num_res_blocks=1, norm_groups=8),
-            model=ModelConfig(
-                base_channels=16, channel_multipliers=(1, 2), layers_per_block=1, norm_groups=8,
-                attention_head_dim=8, cross_attention_dim=16, attention_levels=(1,),
-                audio_context_dim=32, use_cross_attention=False,
-            ),
-            audio=AudioConfig(hidden_dim=32, num_layers=1, num_heads=2, conv_dim=16),
-            mesh=MeshConfig(data=1, context=1, model=1),
-            data=DataConfig(width=s, height=s, num_frames=args.frames, batch_size=1, cache_dir=cache),
-            train=train_cfg,
-            inference=infer_cfg,
-        )
+    def _write_meta():
+        with open(os.path.join(work, "run.json"), "w") as f:
+            json.dump(run_meta, f)
 
-    if args.stage4_steps > 0:
-        # the ControlNet branch must exist in the param tree from stage 1 on
-        # (zero-init: frozen + output-identical until stage 4 trains it)
-        cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, use_controlnet=True, control_cond_channels=3))
+    _write_meta()
 
     # stage 5 (optional): VAE pretraining — the reference loads SD's
     # pretrained VAE (train_stage_1_referencenet.py:124-133); with no
@@ -158,6 +186,8 @@ def main() -> int:
             train=dataclasses.replace(cfg.train, vae_encode="mode"),
         )
         vae_params = t5.state.params
+        run_meta.update(scaling_factor=1.0 / std, vae_encode="mode")
+        _write_meta()
 
     # stage 1: spatial denoising on single frames
     t1 = Trainer(cfg, init_params=vae_params)

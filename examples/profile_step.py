@@ -130,6 +130,9 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--parse-only", default=None, help="skip capture; parse this dir")
+    ap.add_argument("--train512", action="store_true",
+                    help="profile the stage-2 512^2 bs2 8f TRAIN step (the BENCH "
+                    "train512 program, fwd+bwd+optimizer) instead of the denoise step")
     args = ap.parse_args()
 
     if args.parse_only:
@@ -139,6 +142,22 @@ def main() -> int:
     import jax
 
     import bench
+
+    if args.train512:
+        tr, batch, key = bench._train512_setup()
+        state = tr.state
+        for _ in range(2):  # compile outside the trace (one program post r5 fix)
+            state, m = tr.train_step(state, batch, key)
+        float(m["loss"])
+        logdir = args.logdir or tempfile.mkdtemp(prefix="emox_profile_train512_")
+        jax.profiler.start_trace(logdir)
+        for _ in range(args.steps):
+            state, m = tr.train_step(state, batch, key)
+        float(m["loss"])  # host-scalar sync inside the trace window
+        jax.profiler.stop_trace()
+        print("captured", args.steps, "train steps to", logdir)
+        parse_profile(logdir, args.steps)
+        return 0
 
     sizes = {"flagship": 256, "flagship512": 512, "small": 128, "tiny": 32}
     image_size, num_frames = sizes[args.preset], 16
