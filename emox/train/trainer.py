@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from typing import Any, Dict, Iterable, NamedTuple, Optional
 
@@ -180,6 +181,30 @@ class Checkpointer:
         return restored["params"]
 
 
+# transient backend failures worth riding out instead of dying: the axon
+# tunnel's remote-compile endpoint drops connections under load (observed:
+# "http://127.0.0.1:8083/remote_compile: read body: response body closed
+# before all bytes were read" killing a multi-hour run at a stage boundary).
+# bench.py already rides outages with subprocess probes; this is the
+# trainer-side equivalent for the compile/dispatch path. Execution-phase
+# failures after buffer donation are NOT retryable (the donated state is
+# gone) — those surface as deleted-buffer errors on the retry and re-raise.
+_TRANSIENT_MARKERS = (
+    "remote_compile",
+    "response body closed",
+    "read body",
+    "connection reset",
+    "socket closed",
+    "unavailable",
+    "deadline exceeded",
+)
+
+
+def _is_transient(err: Exception) -> bool:
+    msg = str(err).lower()
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
 class Trainer:
     def __init__(
         self,
@@ -308,6 +333,32 @@ class Trainer:
         around it."""
         return self._train_step(state, batch, key)
 
+    def _step_with_retry(self, batch: Dict, key: jax.Array, retries: int = 5):
+        """Run one train step, riding out transient tunnel/compile failures.
+
+        Safe to retry because a compile- or dispatch-phase failure leaves
+        the donated input buffers intact; if execution already consumed
+        them, the retry raises the deleted-buffer error and we re-raise
+        (a checkpoint-level resume handles that case)."""
+        delay = 15.0
+        for attempt in range(retries + 1):
+            try:
+                self.state, metrics = self._train_step(self.state, batch, key)
+                return metrics
+            except jax.errors.JaxRuntimeError as e:
+                if attempt >= retries or not _is_transient(e):
+                    raise
+                try:
+                    at_step = int(self.state.step)
+                except Exception:  # donated/deleted buffer: not retryable
+                    raise e
+                self.logger.log(at_step, {"transient_retry": attempt + 1})
+                print(f"transient backend error (attempt {attempt + 1}/{retries}), "
+                      f"retrying in {delay:.0f}s: {str(e).splitlines()[0][:160]}",
+                      file=sys.stderr)
+                time.sleep(delay)
+                delay = min(delay * 2, 120.0)
+
     def resume(self) -> int:
         latest = self.ckpt.latest_step()
         if latest is not None and self.config.train.resume:
@@ -380,14 +431,14 @@ class Trainer:
                 # a first-class metric instead of letting it hide inside
                 # the first logged step-time (VERDICT r2 weak #7)
                 t0 = time.time()
-                self.state, metrics = self._train_step(self.state, batch, sub)
+                metrics = self._step_with_retry(batch, sub)
                 # sync via a host scalar fetch, not block_until_ready: over
                 # the axon tunnel block_until_ready returns before device
                 # execution finishes (the bench.py honest-timing protocol)
                 float(metrics["loss"])
                 self.logger.log(step + 1, {"compile_s": round(time.time() - t0, 2)})
             else:
-                self.state, metrics = self._train_step(self.state, batch, sub)
+                metrics = self._step_with_retry(batch, sub)
             if (step + 1) % tc.log_every == 0 or step + 1 == num_steps:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 self.logger.log(step + 1, metrics)

@@ -31,7 +31,10 @@ def build_cfg(*, preset, size, frames, steps, lr, dtype, stage4, cache, work):
     s = size
     train_cfg = TrainConfig(
         stage=1, num_steps=steps, learning_rate=lr or 2e-3, log_every=max(1, steps // 10),
-        checkpoint_every=steps, checkpoint_dir=os.path.join(work, "ckpt"),
+        # mid-stage checkpoints so a crashed multi-hour payoff run resumes
+        # where it died instead of re-training the stage (the axon tunnel
+        # drops connections; see Trainer._step_with_retry)
+        checkpoint_every=min(steps, 500), checkpoint_dir=os.path.join(work, "ckpt"),
         compute_dtype=dtype or "float32",
     )
     infer_cfg = InferenceConfig(
@@ -160,6 +163,35 @@ def main() -> int:
 
     _write_meta()
 
+    def _last_logged(stage: int) -> dict:
+        """Last full metrics record a completed stage logged (for the
+        resume-skip path, where fit() never runs)."""
+        path = os.path.join(work, "ckpt", f"stage{stage}_metrics.jsonl")
+        last = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if "loss" in rec:
+                        last = rec
+        return last
+
+    def run_stage(stage_cfg, ds_key: str, steps: int, init_params) -> tuple:
+        """Train one stage, resuming from its own checkpoints: a re-run of a
+        crashed payoff run skips completed stages and continues partial ones
+        (Trainer.resume + the mid-stage checkpoint_every above)."""
+        t = Trainer(stage_cfg, init_params=init_params)
+        stage = stage_cfg.train.stage
+        resumed = t.resume()
+        if resumed >= steps:
+            print(f"stage{stage}: already complete at step {resumed}, skipping")
+            return t, _last_logged(stage)
+        if resumed:
+            print(f"stage{stage}: resuming from step {resumed}")
+        ds = EMODataset(cache, ds_key, num_frames=args.frames, ref_mode="first")
+        m = t.fit(DataLoader(ds, batch_size=1, seed=0), num_steps=steps)
+        return t, m
+
     # stage 5 (optional): VAE pretraining — the reference loads SD's
     # pretrained VAE (train_stage_1_referencenet.py:124-133); with no
     # weights available we bootstrap one on the clip, then calibrate
@@ -172,9 +204,7 @@ def main() -> int:
     if args.vae_steps > 0:
         cfg5 = cfg.replace(train=dataclasses.replace(
             cfg.train, stage=5, learning_rate=1e-4))
-        t5 = Trainer(cfg5)
-        ds5 = EMODataset(cache, "stage1", num_frames=args.frames, ref_mode="first")
-        m5 = t5.fit(DataLoader(ds5, batch_size=1, seed=0), num_steps=args.vae_steps)
+        t5, m5 = run_stage(cfg5, "stage1", args.vae_steps, None)
         std = float(m5.get("latent_std", 0.0)) or 1.0
         print(f"stage5 (VAE) final recon_mse {m5['recon_mse']:.4f}, "
               f"latent_std {std:.4f} -> scaling_factor {1.0 / std:.4f}")
@@ -190,26 +220,20 @@ def main() -> int:
         _write_meta()
 
     # stage 1: spatial denoising on single frames
-    t1 = Trainer(cfg, init_params=vae_params)
-    ds1 = EMODataset(cache, "stage1", num_frames=args.frames, ref_mode="first")
-    m1 = t1.fit(DataLoader(ds1, batch_size=1, seed=0), num_steps=args.steps)
+    t1, m1 = run_stage(cfg, "stage1", args.steps, vae_params)
     print(f"stage1 final loss {m1['loss']:.4f}")
 
     # stage 2: temporal + audio on clips, init from stage 1
     cfg2 = cfg.replace(train=dataclasses.replace(
         cfg.train, stage=2, learning_rate=args.lr / 2 if args.lr else 1e-3))
-    t2 = Trainer(cfg2, init_params=t1.state.params)
-    ds2 = EMODataset(cache, "stage2", num_frames=args.frames, ref_mode="first")
-    m2 = t2.fit(DataLoader(ds2, batch_size=1, seed=0), num_steps=args.steps)
+    t2, m2 = run_stage(cfg2, "stage2", args.steps, t1.state.params)
     print(f"stage2 final loss {m2['loss']:.4f}")
 
     # stage 3: speed/face refinement (masked face loss), init from stage 2
     # (reference train_stage_3.py protocol — completes the 1->2->3 chain)
     cfg3 = cfg.replace(train=dataclasses.replace(
         cfg.train, stage=3, learning_rate=args.lr / 4 if args.lr else 5e-4, face_loss_weight=0.5))
-    t3 = Trainer(cfg3, init_params=t2.state.params)
-    ds3 = EMODataset(cache, "stage3", num_frames=args.frames, ref_mode="first")
-    m3 = t3.fit(DataLoader(ds3, batch_size=1, seed=0), num_steps=args.steps)
+    t3, m3 = run_stage(cfg3, "stage3", args.steps, t2.state.params)
     print(f"stage3 final loss {m3['loss']:.4f}")
 
     # stage 4 (optional): ControlNet branch on the precomputed landmark-
@@ -219,9 +243,7 @@ def main() -> int:
     if args.stage4_steps > 0:
         cfg4 = cfg.replace(train=dataclasses.replace(
             cfg.train, stage=4, learning_rate=args.lr / 2 if args.lr else 1e-3))
-        t4 = Trainer(cfg4, init_params=t3.state.params)
-        ds4 = EMODataset(cache, "stage4-control", num_frames=args.frames, ref_mode="first")
-        m4 = t4.fit(DataLoader(ds4, batch_size=1, seed=0), num_steps=args.stage4_steps)
+        t4, m4 = run_stage(cfg4, "stage4-control", args.stage4_steps, t3.state.params)
         print(f"stage4 final loss {m4['loss']:.4f}")
         final_trainer = t4
 

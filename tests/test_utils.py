@@ -50,3 +50,69 @@ class TestRuntime:
         assert info.process_index == 0 and info.process_count == 1
         assert info.local_devices >= 1
         assert is_master()
+
+
+class TestTransientRetry:
+    """Trainer failure containment for the tunnel/backend outage class:
+    transient compile/dispatch errors are retried in place (fast tier —
+    pure control flow, no compiled programs)."""
+
+    def test_is_transient_classification(self):
+        from emox.train.trainer import _is_transient
+
+        transient = RuntimeError(
+            "INTERNAL: http://127.0.0.1:8083/remote_compile: read body: "
+            "response body closed before all bytes were read")
+        assert _is_transient(transient)
+        assert _is_transient(RuntimeError("UNAVAILABLE: Socket closed"))
+        assert not _is_transient(RuntimeError("INVALID_ARGUMENT: shape mismatch"))
+        assert not _is_transient(RuntimeError("RESOURCE_EXHAUSTED: out of memory"))
+
+    def test_step_with_retry_rides_transient(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from emox.train import trainer as trainer_mod
+
+        calls = {"n": 0}
+
+        class _Log:
+            def log(self, step, metrics):
+                pass
+
+        class _Stub:
+            state = type("S", (), {"step": jnp.zeros((), jnp.int32)})()
+            logger = _Log()
+
+            def _train_step(self, state, batch, key):
+                calls["n"] += 1
+                if calls["n"] < 3:
+                    raise jax.errors.JaxRuntimeError(
+                        "INTERNAL: remote_compile: response body closed")
+                return state, {"loss": 0.25}
+
+        monkeypatch.setattr(trainer_mod.time, "sleep", lambda s: None)
+        m = trainer_mod.Trainer._step_with_retry(_Stub(), {}, None)
+        assert m["loss"] == 0.25 and calls["n"] == 3
+
+    def test_step_with_retry_reraises_non_transient(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from emox.train import trainer as trainer_mod
+
+        class _Log:
+            def log(self, step, metrics):
+                pass
+
+        class _Stub:
+            state = type("S", (), {"step": jnp.zeros((), jnp.int32)})()
+            logger = _Log()
+
+            def _train_step(self, state, batch, key):
+                raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: bad shape")
+
+        monkeypatch.setattr(trainer_mod.time, "sleep", lambda s: None)
+        with pytest.raises(jax.errors.JaxRuntimeError):
+            trainer_mod.Trainer._step_with_retry(_Stub(), {}, None)
